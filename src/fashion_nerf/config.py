@@ -1,0 +1,228 @@
+"""Typed, frozen configuration tree + the five acceptance presets.
+
+Reference@v1 has no config system (/root/reference/README.md:1-2 is the whole
+repo); the canonical nerf-pytorch equivalent is configargparse .txt files.
+Here: frozen dataclasses (hashable → usable as jit static args), named presets
+mirroring BASELINE.json:7-11, and dotted `--set a.b=c` overrides.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field, fields, replace
+from typing import Any, Optional, Tuple
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    net_depth: int = 8            # trunk layers
+    net_width: int = 256          # trunk width
+    skips: Tuple[int, ...] = (4,)  # concat γ(x) after trunk layer i (input to i+1)
+    posenc_xyz: int = 10          # L for positions → 3+3*2*10 = 63 dims
+    posenc_dir: int = 4           # L for view dirs → 3+3*2*4 = 27 dims
+    use_viewdirs: bool = True
+    sigma_activation: str = "relu"   # relu | softplus
+    # garment conditioning (BASELINE.json:10)
+    conditioned: bool = False
+    condition_dim: int = 64       # garment feature dim injected into the trunk
+    # per-frame latent codes (BASELINE.json:11)
+    n_latents: int = 0            # 0 = no latent table
+    latent_dim: int = 32
+
+
+@dataclass(frozen=True)
+class SamplingConfig:
+    n_coarse: int = 64
+    n_fine: int = 0               # 0 = coarse-only
+    perturb: bool = True          # stratified jitter during training
+    lindisp: bool = False         # sample linearly in inverse depth
+    raw_noise_std: float = 0.0    # σ-pre-activation noise during training
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    near: float = 2.0
+    far: float = 6.0
+    ndc: bool = False             # LLFF forward-facing reparameterization
+    white_bkgd: bool = False
+    chunk: int = 16384            # rays per device dispatch when rendering images
+
+
+@dataclass(frozen=True)
+class KernelConfig:
+    """Pallas kernel selection. Every kernel has an XLA-composed fallback
+    (SURVEY.md §2.5); flags flip the hot paths to the Pallas twins."""
+    use_pallas: bool = False
+    fused_mlp: bool = True        # kernels/posenc_mlp_pallas
+    fused_render: bool = True     # kernels/render_pallas
+    fused_resample: bool = True   # kernels/resample_pallas
+    mlp_dtype: str = "bfloat16"   # matmul input dtype inside fused MLP (accum f32)
+    interpret: bool = False       # run Pallas in interpreter mode (CPU debugging)
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    iters: int = 200_000
+    batch_rays: int = 4096        # rays per step (global, sharded over dp axis)
+    lr_init: float = 5e-4
+    lr_final: float = 5e-5
+    lr_decay_steps: int = 250_000
+    seed: int = 0
+    log_every: int = 100
+    eval_every: int = 5000
+    ckpt_every: int = 10000
+    ckpt_keep: int = 3
+    precrop_iters: int = 0        # train on center crop for first N iters
+    precrop_frac: float = 0.5
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "tiny"         # tiny | blender | llff | viton
+    root: str = ""
+    half_res: bool = False
+    llff_factor: int = 8
+    llff_spherify: bool = False
+    frame_ids: Tuple[int, ...] = ()   # dynamic try-on: which frames carry latents
+
+
+@dataclass(frozen=True)
+class DistConfig:
+    dp: int = -1                  # data-parallel axis size; -1 = all devices
+    tp: int = 1                   # optional tensor parallel over MLP hidden dim
+    multihost: bool = False       # jax.distributed.initialize on entry
+
+
+@dataclass(frozen=True)
+class Config:
+    name: str = "tiny_lego"
+    model: ModelConfig = field(default_factory=ModelConfig)
+    sampling: SamplingConfig = field(default_factory=SamplingConfig)
+    render: RenderConfig = field(default_factory=RenderConfig)
+    kernels: KernelConfig = field(default_factory=KernelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    dist: DistConfig = field(default_factory=DistConfig)
+    out_dir: str = "runs"
+
+
+# --- The five acceptance presets (BASELINE.json:7-11) -----------------------
+
+PRESETS: dict = {}
+
+
+def _register(cfg: Config) -> Config:
+    PRESETS[cfg.name] = cfg
+    return cfg
+
+
+# [B]:7 Tiny-NeRF lego 64×64, coarse-only 8-layer MLP, 64 samples/ray (CPU-runnable)
+_register(Config(
+    name="tiny_lego",
+    model=ModelConfig(posenc_xyz=6, posenc_dir=4, use_viewdirs=False),
+    sampling=SamplingConfig(n_coarse=64, n_fine=0),
+    render=RenderConfig(near=2.0, far=6.0, white_bkgd=False, chunk=4096),
+    train=TrainConfig(iters=1000, batch_rays=1024, lr_init=5e-4, lr_final=5e-5,
+                      lr_decay_steps=1000, eval_every=250, ckpt_every=500),
+    data=DataConfig(dataset="tiny"),
+))
+
+# [B]:8 NeRF-synthetic Blender 800×800, coarse+fine hierarchical (64+128 = 192 samples/ray)
+_register(Config(
+    name="blender_lego",
+    model=ModelConfig(),
+    sampling=SamplingConfig(n_coarse=64, n_fine=128, raw_noise_std=0.0),
+    render=RenderConfig(near=2.0, far=6.0, white_bkgd=True, chunk=32768),
+    kernels=KernelConfig(use_pallas=True),
+    train=TrainConfig(iters=200_000, batch_rays=4096, precrop_iters=500),
+    data=DataConfig(dataset="blender"),
+))
+
+# [B]:9 LLFF forward-facing, NDC rays, per-scene appearance fitting
+_register(Config(
+    name="llff_fern",
+    model=ModelConfig(),
+    sampling=SamplingConfig(n_coarse=64, n_fine=128, raw_noise_std=1.0,
+                            lindisp=False),
+    render=RenderConfig(near=0.0, far=1.0, ndc=True, white_bkgd=False,
+                        chunk=32768),
+    kernels=KernelConfig(use_pallas=True),
+    train=TrainConfig(iters=200_000, batch_rays=4096),
+    data=DataConfig(dataset="llff", llff_factor=8),
+))
+
+# [B]:10 Garment-conditioned try-on NeRF (VITON-HD TPS warp + seg masks)
+_register(Config(
+    name="viton_tryon",
+    model=ModelConfig(conditioned=True, condition_dim=64),
+    sampling=SamplingConfig(n_coarse=64, n_fine=128),
+    render=RenderConfig(near=2.0, far=6.0, white_bkgd=True, chunk=16384),
+    kernels=KernelConfig(use_pallas=True),
+    train=TrainConfig(iters=100_000, batch_rays=2048),
+    data=DataConfig(dataset="viton"),
+))
+
+# [B]:11 Multi-view dynamic try-on: per-frame latent codes, rotating-subject video
+_register(Config(
+    name="dynamic_tryon",
+    model=ModelConfig(conditioned=True, condition_dim=64,
+                      n_latents=64, latent_dim=32),
+    sampling=SamplingConfig(n_coarse=64, n_fine=128),
+    render=RenderConfig(near=2.0, far=6.0, white_bkgd=True, chunk=16384),
+    kernels=KernelConfig(use_pallas=True),
+    train=TrainConfig(iters=100_000, batch_rays=2048),
+    data=DataConfig(dataset="blender", frame_ids=tuple(range(64))),
+))
+
+
+# --- dotted overrides --------------------------------------------------------
+
+def _set_dotted(cfg: Any, dotted: str, raw: str) -> Any:
+    """Return a copy of `cfg` with dotted path (e.g. 'train.iters') set.
+
+    Values are parsed with the target field's existing type.
+    """
+    head, _, rest = dotted.partition(".")
+    names = {f.name: f for f in fields(cfg)}
+    if head not in names:
+        raise KeyError(f"unknown config field {head!r} on {type(cfg).__name__}")
+    cur = getattr(cfg, head)
+    if rest:
+        return replace(cfg, **{head: _set_dotted(cur, rest, raw)})
+    new_val = _parse_like(cur, raw)
+    return replace(cfg, **{head: new_val})
+
+
+def _parse_like(template: Any, raw: str) -> Any:
+    if isinstance(template, bool):
+        return raw.lower() in ("1", "true", "yes", "on")
+    if isinstance(template, int):
+        return int(raw)
+    if isinstance(template, float):
+        return float(raw)
+    if isinstance(template, tuple):
+        if raw.strip() == "":
+            return ()
+        items = [s.strip() for s in raw.split(",")]
+        inner = template[0] if template else int
+        return tuple(type(inner)(s) if template else int(s) for s in items)
+    return raw
+
+
+def load_config(name: str, overrides: Optional[list] = None) -> Config:
+    """Look up a preset and apply `k=v` dotted overrides."""
+    if name not in PRESETS:
+        raise KeyError(f"unknown preset {name!r}; have {sorted(PRESETS)}")
+    cfg = PRESETS[name]
+    for item in overrides or []:
+        key, _, val = item.partition("=")
+        cfg = _set_dotted(cfg, key.strip(), val.strip())
+    return cfg
+
+
+def config_to_dict(cfg: Any) -> Any:
+    if dataclasses.is_dataclass(cfg):
+        return {f.name: config_to_dict(getattr(cfg, f.name)) for f in fields(cfg)}
+    if isinstance(cfg, tuple):
+        return list(cfg)
+    return cfg

@@ -1,0 +1,86 @@
+"""Stratified + hierarchical importance sampling along rays (BASELINE.json:5,8).
+
+Reference@v1 ships no code (/root/reference/README.md:1-2); algorithms follow
+the canonical NeRF formulation. All functions are shape-static and jit-safe.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def stratified_sample(key, near, far, n_rays: int, n_samples: int,
+                      perturb: bool = True, lindisp: bool = False):
+    """N bins over [near, far], one uniform jitter per bin.
+
+    Args:
+      key: PRNG key (ignored when perturb=False → deterministic bin midpoints
+           ... actually deterministic linspace endpoints, matching eval mode).
+      near, far: scalars or (n_rays,) per-ray bounds.
+      n_rays, n_samples: static ints.
+      perturb: jitter within bins (training); False → fixed linspace (eval).
+      lindisp: sample linearly in inverse depth (disparity).
+
+    Returns:
+      t_vals: (n_rays, n_samples) monotone increasing sample depths.
+    """
+    t = jnp.linspace(0.0, 1.0, n_samples, dtype=jnp.float32)     # (S,)
+    near = jnp.broadcast_to(jnp.asarray(near, jnp.float32), (n_rays,))
+    far = jnp.broadcast_to(jnp.asarray(far, jnp.float32), (n_rays,))
+    if lindisp:
+        z = 1.0 / (1.0 / near[:, None] * (1.0 - t) + 1.0 / far[:, None] * t)
+    else:
+        z = near[:, None] * (1.0 - t) + far[:, None] * t          # (R, S)
+    if perturb:
+        mids = 0.5 * (z[:, 1:] + z[:, :-1])
+        upper = jnp.concatenate([mids, z[:, -1:]], axis=-1)
+        lower = jnp.concatenate([z[:, :1], mids], axis=-1)
+        u = jax.random.uniform(key, z.shape, dtype=jnp.float32)
+        z = lower + (upper - lower) * u
+    return z
+
+
+def sample_pdf(key, bins, weights, n_samples: int, det: bool = False,
+               eps: float = 1e-5):
+    """Inverse-CDF importance sampling from a piecewise-constant PDF.
+
+    Args:
+      bins: (R, B+1) bin edges (coarse sample midpoints in hierarchical NeRF).
+      weights: (R, B) unnormalized per-bin mass (coarse volume-render weights).
+      n_samples: number of fine samples to draw (static).
+      det: deterministic mode — evenly spaced CDF quantiles (eval); else
+           uniform random quantiles.
+
+    Returns:
+      samples: (R, n_samples) NOT sorted; callers union-sort with the coarse
+      set (see render/renderer.py). This is the XLA fallback twin of
+      kernels/resample_pallas.resample_cdf.
+    """
+    weights = weights + eps                                       # avoid nans
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)      # (R, B)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], axis=-1)  # (R, B+1)
+
+    R = cdf.shape[0]
+    if det:
+        u = jnp.linspace(0.0, 1.0, n_samples, dtype=jnp.float32)
+        u = jnp.broadcast_to(u, (R, n_samples))
+    else:
+        u = jax.random.uniform(key, (R, n_samples), dtype=jnp.float32)
+
+    # searchsorted per-ray: index of first cdf edge > u
+    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    below = jnp.clip(inds - 1, 0, cdf.shape[-1] - 1)
+    above = jnp.clip(inds, 0, cdf.shape[-1] - 1)
+
+    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
+    bin_below = jnp.take_along_axis(bins, below, axis=-1)
+    bin_above = jnp.take_along_axis(bins, above, axis=-1)
+
+    denom = cdf_above - cdf_below
+    denom = jnp.where(denom < eps, 1.0, denom)
+    frac = (u - cdf_below) / denom
+    samples = bin_below + frac * (bin_above - bin_below)
+    return samples
