@@ -1,0 +1,64 @@
+"""Checkpoint / resume via Orbax (SURVEY.md §5.4).
+
+Saves the full TrainState (params, Adam moments, step, PRNG key) so resume
+continues the identical trajectory. Keep-last-N retention; the training
+driver calls save() on its ckpt cadence.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+# One manager per directory: Orbax saves run async off the step path
+# (SURVEY.md §5.4); a throwaway manager per save would leak worker threads
+# and crash at interpreter shutdown with saves still in flight.
+_MANAGERS: dict = {}
+
+
+def _mgr(directory: str, keep: int = 3) -> ocp.CheckpointManager:
+    directory = os.path.abspath(directory)
+    if directory not in _MANAGERS:
+        _MANAGERS[directory] = ocp.CheckpointManager(
+            directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=keep,
+                                                 create=True),
+        )
+    return _MANAGERS[directory]
+
+
+def finalize():
+    """Block until all in-flight async saves land (call at end of training)."""
+    for mgr in _MANAGERS.values():
+        mgr.wait_until_finished()
+
+
+def save(directory: str, state, keep: int = 3, wait: bool = False):
+    """Save TrainState at its current step."""
+    mgr = _mgr(directory, keep)
+    step = int(jax.device_get(state.step))
+    mgr.save(step, args=ocp.args.StandardSave(state))
+    if wait:
+        mgr.wait_until_finished()
+    return step
+
+
+def restore(directory: str, template_state, step: int | None = None):
+    """Restore the latest (or a specific) checkpoint into the structure of
+    `template_state` (a freshly-created TrainState with matching shapes)."""
+    mgr = _mgr(directory)
+    if step is None:
+        step = mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoint found in {directory}")
+    return mgr.restore(step, args=ocp.args.StandardRestore(template_state))
+
+
+def latest_step(directory: str):
+    if not os.path.isdir(directory):
+        return None
+    return _mgr(directory).latest_step()

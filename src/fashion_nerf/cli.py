@@ -1,0 +1,167 @@
+"""L7 — CLI entry points (BASELINE.json:5 "train/render entry points").
+
+fashion-nerf {train,render,eval,preprocess,bench} --config NAME --set k=v ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _parser():
+    p = argparse.ArgumentParser(prog="fashion-nerf",
+                                description="TPU-native NeRF + try-on")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name in ("train", "render", "eval", "preprocess", "bench"):
+        sp = sub.add_parser(name)
+        sp.add_argument("--config", default="tiny_lego",
+                        help="preset name (see fashion_nerf.config.PRESETS)")
+        sp.add_argument("--set", dest="overrides", action="append", default=[],
+                        metavar="k=v", help="dotted config override")
+        sp.add_argument("--out", default=None, help="output dir/file")
+        sp.add_argument("--resume", action="store_true",
+                        help="resume from latest checkpoint")
+        sp.add_argument("--profile", action="store_true",
+                        help="wrap the run in jax.profiler.trace")
+        sp.add_argument("--sanitize", action="store_true",
+                        help="enable jax_debug_nans (SURVEY.md §5.2)")
+    return p
+
+
+def main(argv=None):
+    args = _parser().parse_args(argv)
+    from fashion_nerf.config import load_config, config_to_dict
+    cfg = load_config(args.config, args.overrides)
+    if args.out and args.cmd == "train":
+        import dataclasses
+        cfg = dataclasses.replace(cfg, out_dir=args.out)
+
+    import jax
+    if args.sanitize:
+        jax.config.update("jax_debug_nans", True)
+
+    # dump the fully-resolved config for reproducibility (SURVEY.md §5.6)
+    run_dir = os.path.join(cfg.out_dir, cfg.name)
+    os.makedirs(run_dir, exist_ok=True)
+    with open(os.path.join(run_dir, "config.json"), "w") as f:
+        json.dump(config_to_dict(cfg), f, indent=1)
+
+    ctx = _profiler(run_dir) if args.profile else _null_ctx()
+    with ctx:
+        if args.cmd == "train":
+            return _cmd_train(cfg, args)
+        if args.cmd == "render":
+            return _cmd_render(cfg, args)
+        if args.cmd == "eval":
+            return _cmd_eval(cfg, args)
+        if args.cmd == "preprocess":
+            return _cmd_preprocess(cfg, args)
+        if args.cmd == "bench":
+            return _cmd_bench(cfg, args)
+    return 0
+
+
+def _null_ctx():
+    import contextlib
+    return contextlib.nullcontext()
+
+
+def _profiler(run_dir: str):
+    import jax
+    return jax.profiler.trace(os.path.join(run_dir, "trace"))
+
+
+def _cmd_train(cfg, args):
+    from fashion_nerf.train.loop import train
+    state, history = train(cfg)
+    print(json.dumps({"done": True, "steps": int(state.step),
+                      "final": history[-1] if history else None}))
+    return 0
+
+
+def _restored_state(cfg):
+    import jax
+    from fashion_nerf.train.state import create_train_state
+    from fashion_nerf import ckpt as ckpt_lib
+    tmpl = create_train_state(cfg, jax.random.PRNGKey(cfg.train.seed))
+    ckpt_dir = os.path.join(cfg.out_dir, cfg.name, "ckpt")
+    return ckpt_lib.restore(ckpt_dir, tmpl)
+
+
+def _cmd_render(cfg, args):
+    import jax.numpy as jnp
+    import numpy as np
+    from fashion_nerf.train.loop import _load_dataset, make_fields
+    from fashion_nerf.render.renderer import render_path
+    import functools
+
+    state = _restored_state(cfg)
+    d = _load_dataset(cfg)
+    field_c, field_f = make_fields(cfg)
+    fc = functools.partial(field_c, state.params["coarse"])
+    ff = (functools.partial(field_f, state.params["fine"])
+          if cfg.sampling.n_fine > 0 else None)
+    poses = d.get("render_poses", d["poses"])
+    frames = render_path(fc, ff, poses, d["H"], d["W"], d["focal"], cfg)
+    out = args.out or os.path.join(cfg.out_dir, cfg.name, "render")
+    os.makedirs(out, exist_ok=True)
+    import imageio.v2 as imageio
+    arr = np.clip(np.asarray(frames), 0, 1)
+    for i, fr in enumerate(arr):
+        imageio.imwrite(os.path.join(out, f"{i:03d}.png"),
+                        (fr * 255).astype(np.uint8))
+    try:
+        imageio.mimwrite(os.path.join(out, "video.mp4"),
+                         (arr * 255).astype(np.uint8), fps=24)
+    except Exception as e:  # mp4 writer may be absent; PNGs already saved
+        print(f"(video skipped: {e})", file=sys.stderr)
+    print(json.dumps({"frames": len(arr), "out": out}))
+    return 0
+
+
+def _cmd_eval(cfg, args):
+    import functools
+    import jax.numpy as jnp
+    import numpy as np
+    from fashion_nerf.metrics import psnr, ssim
+    from fashion_nerf.render.renderer import render_image
+    from fashion_nerf.train.loop import _load_dataset, make_fields
+
+    state = _restored_state(cfg)
+    d = _load_dataset(cfg)
+    field_c, field_f = make_fields(cfg)
+    fc = functools.partial(field_c, state.params["coarse"])
+    ff = (functools.partial(field_f, state.params["fine"])
+          if cfg.sampling.n_fine > 0 else None)
+    test_images = d.get("test_images", d["val_image"][None])
+    test_poses = d.get("test_poses", np.asarray(d["val_pose"])[None])
+    scores = []
+    for img, pose in zip(test_images, test_poses):
+        out = render_image(fc, ff, d["H"], d["W"], d["focal"],
+                           jnp.asarray(pose), cfg)
+        scores.append((float(psnr(out["rgb"], jnp.asarray(img))),
+                       float(ssim(out["rgb"], jnp.asarray(img)))))
+    mean_psnr = sum(s[0] for s in scores) / len(scores)
+    mean_ssim = sum(s[1] for s in scores) / len(scores)
+    print(json.dumps({"psnr": mean_psnr, "ssim": mean_ssim,
+                      "n_views": len(scores)}))
+    return 0
+
+
+def _cmd_preprocess(cfg, args):
+    from fashion_nerf.tryon.pipeline import preprocess_cli
+    return preprocess_cli(cfg, args)
+
+
+def _cmd_bench(cfg, args):
+    from fashion_nerf.bench import run_bench
+    result = run_bench(cfg)
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -121,7 +121,9 @@ _register(Config(
     name="tiny_lego",
     model=ModelConfig(posenc_xyz=6, posenc_dir=4, use_viewdirs=False),
     sampling=SamplingConfig(n_coarse=64, n_fine=0),
-    render=RenderConfig(near=2.0, far=6.0, white_bkgd=False, chunk=4096),
+    # white_bkgd=True: the data is alpha-composited on white; rendering
+    # without background compositing admits a uniform-white-fog collapse
+    render=RenderConfig(near=2.0, far=6.0, white_bkgd=True, chunk=4096),
     train=TrainConfig(iters=1000, batch_rays=1024, lr_init=5e-4, lr_final=5e-5,
                       lr_decay_steps=1000, eval_every=250, ckpt_every=500),
     data=DataConfig(dataset="tiny"),

@@ -1,0 +1,95 @@
+"""Procedural multi-view scene generator — hermetic ground truth.
+
+Pure NumPy (no JAX): renders an analytic density/color field with dense
+quadrature so loaders, training, and integration tests run with zero
+downloads (SURVEY.md §4.6). The scene is a cluster of colored soft spheres —
+enough view-dependent parallax structure for a NeRF to fit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _pose_spherical(theta_deg: float, phi_deg: float, radius: float):
+    """Camera on a sphere looking at the origin (standard blender-style)."""
+    th, ph = np.deg2rad(theta_deg), np.deg2rad(phi_deg)
+    # start at (0,0,r) looking down -z, rotate phi about x then theta about z
+    trans = np.eye(4); trans[2, 3] = radius
+    rot_phi = np.eye(4)
+    rot_phi[1, 1] = rot_phi[2, 2] = np.cos(ph)
+    rot_phi[1, 2], rot_phi[2, 1] = -np.sin(ph), np.sin(ph)
+    rot_th = np.eye(4)
+    rot_th[0, 0] = rot_th[1, 1] = np.cos(th)
+    rot_th[0, 1], rot_th[1, 0] = -np.sin(th), np.sin(th)
+    return (rot_th @ rot_phi @ trans)[:3].astype(np.float32)
+
+
+_SPHERES = [
+    # (center, radius, color, density) — sized so objects cover a meaningful
+    # image fraction; a near-all-white scene admits a white-fog local optimum
+    (np.array([0.0, 0.0, 0.0]), 0.9, np.array([0.9, 0.2, 0.15]), 40.0),
+    (np.array([0.9, 0.4, 0.3]), 0.45, np.array([0.15, 0.7, 0.9]), 60.0),
+    (np.array([-0.7, -0.5, 0.4]), 0.5, np.array([0.2, 0.85, 0.25]), 50.0),
+    (np.array([0.15, 0.8, -0.55]), 0.4, np.array([0.95, 0.85, 0.1]), 70.0),
+    (np.array([-0.3, 0.6, 0.6]), 0.35, np.array([0.55, 0.25, 0.8]), 55.0),
+]
+
+
+def field_np(pts):
+    """Analytic field: pts (..., 3) → rgb (..., 3), sigma (...)."""
+    sigma = np.zeros(pts.shape[:-1], np.float32)
+    rgb = np.zeros(pts.shape[:-1] + (3,), np.float32)
+    wsum = np.zeros(pts.shape[:-1], np.float32)
+    for c, r, col, dens in _SPHERES:
+        d = np.linalg.norm(pts - c, axis=-1)
+        occ = dens / (1.0 + np.exp(np.clip(25.0 * (d - r), -30, 30)))
+        sigma += occ
+        rgb += occ[..., None] * col
+        wsum += occ
+    rgb = rgb / np.maximum(wsum[..., None], 1e-8)
+    rgb = np.where(wsum[..., None] > 1e-8, rgb, 1.0)
+    return rgb.astype(np.float32), sigma.astype(np.float32)
+
+
+def _render_view(H, W, focal, c2w, n_samples=128, near=2.0, far=6.0,
+                 white_bkgd=True):
+    i, j = np.meshgrid(np.arange(W, dtype=np.float32),
+                       np.arange(H, dtype=np.float32), indexing="xy")
+    dirs = np.stack([(i - W * .5) / focal, -(j - H * .5) / focal,
+                     -np.ones_like(i)], -1)
+    rays_d = dirs @ c2w[:3, :3].T
+    rays_o = np.broadcast_to(c2w[:3, -1], rays_d.shape)
+    t = np.linspace(near, far, n_samples, dtype=np.float32)
+    pts = rays_o[..., None, :] + rays_d[..., None, :] * t[:, None]
+    rgb, sigma = field_np(pts)
+    delta = (far - near) / (n_samples - 1) * np.linalg.norm(
+        rays_d, axis=-1, keepdims=True)
+    alpha = 1.0 - np.exp(-sigma * delta)
+    trans = np.cumprod(1.0 - alpha + 1e-10, axis=-1)
+    trans = np.concatenate([np.ones_like(trans[..., :1]), trans[..., :-1]], -1)
+    w = alpha * trans
+    img = (w[..., None] * rgb).sum(-2)
+    acc = w.sum(-1)
+    if white_bkgd:
+        img = img + (1.0 - acc[..., None])
+    return np.clip(img, 0, 1).astype(np.float32)
+
+
+def make_synthetic_scene(n_views: int = 12, H: int = 64, W: int = 64,
+                         seed: int = 0, n_samples: int = 128):
+    """→ dict(images (N,H,W,3), poses (N,3,4), focal, near, far, plus a
+    held-out val view). Deterministic for a given seed."""
+    rng = np.random.default_rng(seed)
+    focal = 0.9 * W
+    thetas = np.linspace(0, 360, n_views, endpoint=False) + rng.uniform(0, 5)
+    phis = rng.uniform(-40, -20, size=n_views)
+    poses = np.stack([_pose_spherical(t, p, 4.0) for t, p in zip(thetas, phis)])
+    images = np.stack([_render_view(H, W, focal, p, n_samples) for p in poses])
+    val_pose = _pose_spherical(33.3, -30.0, 4.0)
+    val_image = _render_view(H, W, focal, val_pose, n_samples)
+    return {
+        "images": images, "poses": poses, "focal": float(focal),
+        "val_image": val_image, "val_pose": val_pose,
+        "near": 2.0, "far": 6.0, "H": H, "W": W,
+    }

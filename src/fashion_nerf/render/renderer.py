@@ -1,0 +1,145 @@
+"""L3 — the full rendering pipeline (SURVEY.md §3.1/3.2, BASELINE.json:5).
+
+rays → stratified → coarse field → volume render → importance resample →
+fine field → volume render. Entirely shape-static; one jit encloses whole
+images via lax.map over fixed-size chunks (no host-side Python loop —
+BASELINE.json:5). Fields follow the convention in models/__init__.py, so the
+Pallas substrate (kernels/) slots in without renderer changes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from fashion_nerf.config import Config
+from fashion_nerf.core.cameras import generate_rays, ndc_rays
+from fashion_nerf.core.sampling import sample_pdf, stratified_sample
+from fashion_nerf.core.volrend import volume_render
+
+
+def render_rays(field_coarse: Callable, field_fine: Optional[Callable],
+                rays_o, rays_d, key, cfg: Config, train: bool,
+                cond=None, use_pallas_render: bool = False):
+    """Render a batch of rays.
+
+    Args:
+      field_coarse/field_fine: bound field fns (pts, viewdirs, cond)->(rgb,σ);
+        field_fine None ⇒ coarse-only (tiny_lego config, BASELINE.json:7).
+      rays_o, rays_d: (R, 3). In NDC configs these are already NDC rays.
+      key: PRNG key (consumed only when train=True).
+      cfg: full Config (static under jit).
+      train: stratified jitter + σ-noise on; eval is fully deterministic.
+      cond: optional (R, Cc) conditioning features.
+
+    Returns {"coarse": {...}, "fine": {...}|None}; each inner dict is a
+    volume_render output.
+    """
+    R = rays_o.shape[0]
+    scfg, rcfg = cfg.sampling, cfg.render
+    k_strat, k_pdf, k_noise_c, k_noise_f = jax.random.split(key, 4)
+
+    if use_pallas_render:
+        from fashion_nerf.kernels.render_pallas import fused_render_rays as _vr
+        vr = functools.partial(_vr, interpret=cfg.kernels.interpret)
+    else:
+        vr = volume_render
+
+    t_c = stratified_sample(k_strat, rcfg.near, rcfg.far, R, scfg.n_coarse,
+                            perturb=train and scfg.perturb,
+                            lindisp=scfg.lindisp)
+    pts_c = rays_o[:, None, :] + rays_d[:, None, :] * t_c[..., None]
+    rgb_c, sigma_c = field_coarse(pts_c, rays_d, cond)
+    noise = scfg.raw_noise_std if train else 0.0
+    out_c = vr(rgb_c, sigma_c, t_c, rays_d, white_bkgd=rcfg.white_bkgd,
+               raw_noise_std=noise, key=k_noise_c,
+               sigma_activation=cfg.model.sigma_activation)
+
+    if scfg.n_fine <= 0 or field_fine is None:
+        return {"coarse": out_c, "fine": None}
+
+    # hierarchical: PDF over coarse intervals, union-sort with coarse samples
+    t_mid = 0.5 * (t_c[:, 1:] + t_c[:, :-1])
+    w_mid = jax.lax.stop_gradient(out_c["weights"][:, 1:-1])
+    t_f = sample_pdf(k_pdf, t_mid, w_mid, scfg.n_fine,
+                     det=not (train and scfg.perturb))
+    t_all = jnp.sort(jnp.concatenate([t_c, t_f], axis=-1), axis=-1)
+
+    pts_f = rays_o[:, None, :] + rays_d[:, None, :] * t_all[..., None]
+    rgb_f, sigma_f = field_fine(pts_f, rays_d, cond)
+    out_f = vr(rgb_f, sigma_f, t_all, rays_d, white_bkgd=rcfg.white_bkgd,
+               raw_noise_std=noise, key=k_noise_f,
+               sigma_activation=cfg.model.sigma_activation)
+    return {"coarse": out_c, "fine": out_f}
+
+
+def _rays_for_pose(H: int, W: int, focal, c2w, cfg: Config):
+    rays_o, rays_d = generate_rays(H, W, focal, c2w)
+    rays_o = rays_o.reshape(-1, 3)
+    rays_d = rays_d.reshape(-1, 3)
+    viewdirs = rays_d  # keep pre-NDC dirs for view-dependence
+    if cfg.render.ndc:
+        rays_o, rays_d = ndc_rays(H, W, focal, 1.0, rays_o, rays_d)
+    return rays_o, rays_d, viewdirs
+
+
+def render_image(field_coarse, field_fine, H: int, W: int, focal, c2w,
+                 cfg: Config, key=None, cond=None,
+                 use_pallas_render: bool = False):
+    """Render a full H×W image under ONE jit: rays are padded to a multiple
+    of cfg.render.chunk and mapped with lax.map, bounding device memory while
+    keeping the host out of the loop."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    rays_o, rays_d, viewdirs = _rays_for_pose(H, W, focal, c2w, cfg)
+    n = rays_o.shape[0]
+    chunk = min(cfg.render.chunk, n)
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    ro = jnp.pad(rays_o, ((0, pad), (0, 0))).reshape(n_chunks, chunk, 3)
+    rd = jnp.pad(rays_d, ((0, pad), (0, 0))).reshape(n_chunks, chunk, 3)
+    vd = jnp.pad(viewdirs, ((0, pad), (0, 0))).reshape(n_chunks, chunk, 3)
+    # NDC: field sees NDC-space points but view-dependence uses world dirs.
+    # For the non-NDC case rays_d == viewdirs, so one code path suffices: the
+    # field closure receives viewdirs separately.
+
+    def render_chunk(args):
+        o, d, v = args
+        def fc(pts, _rd, cnd):
+            return field_coarse(pts, v, cnd)
+        ff = None
+        if field_fine is not None:
+            def ff(pts, _rd, cnd):
+                return field_fine(pts, v, cnd)
+        return render_rays(fc, ff, o, d, key, cfg, train=False, cond=cond,
+                           use_pallas_render=use_pallas_render)
+
+    out = jax.lax.map(render_chunk, (ro, rd, vd))
+    head = out["fine"] if out["fine"] is not None else out["coarse"]
+
+    def unchunk(x):
+        flat = x.reshape((n_chunks * chunk,) + x.shape[2:])[:n]
+        return flat.reshape((H, W) + x.shape[2:])
+
+    return {
+        "rgb": unchunk(head["rgb"]),
+        "depth": unchunk(head["depth"]),
+        "acc": unchunk(head["acc"]),
+        "disp": unchunk(head["disp"]),
+    }
+
+
+def render_path(field_coarse, field_fine, poses, H: int, W: int, focal,
+                cfg: Config, cond=None, use_pallas_render: bool = False):
+    """Render a camera path (test poses / spiral / rotation video,
+    BASELINE.json:11). Host loop over poses; the per-image renderer is jitted
+    ONCE (c2w is the only traced argument) so frames reuse the executable."""
+    def _render(c2w):
+        return render_image(field_coarse, field_fine, H, W, focal, c2w, cfg,
+                            cond=cond, use_pallas_render=use_pallas_render)
+    render = jax.jit(_render)
+    frames = [render(jnp.asarray(c2w))["rgb"] for c2w in poses]
+    return jnp.stack(frames)

@@ -1,0 +1,206 @@
+"""L4 — the pjit'd train step and the training driver (SURVEY.md §3.1).
+
+One jit encloses the entire step: ray-batch gather from device-resident
+tensors, coarse+fine render, MSE loss, Adam update. Nothing inside touches
+the host (BASELINE.json:5 "instead of a host-side Python loop"). Under a
+device mesh the same step is sharded DP-over-rays by dist/mesh.py; the
+gradient psum is inserted by XLA from the sharding annotations.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fashion_nerf.config import Config
+from fashion_nerf.core.sampling import sample_pdf  # noqa: F401 (re-export site)
+from fashion_nerf.data.pipeline import RayDataset
+from fashion_nerf.metrics import mse_to_psnr, psnr as psnr_fn
+from fashion_nerf.models.nerf_mlp import make_field
+from fashion_nerf.render.renderer import render_rays, render_image
+from fashion_nerf.train.state import TrainState, create_train_state, \
+    make_optimizer
+
+
+def make_fields(cfg: Config):
+    """Build (field_coarse, field_fine) UNBOUND field fns taking params
+    explicitly: field(params, pts, viewdirs, cond). Selects the Pallas fused
+    MLP substrate when cfg.kernels says so and a TPU is present."""
+    _, field = make_field(cfg.model)
+    if cfg.kernels.use_pallas and cfg.kernels.fused_mlp:
+        from fashion_nerf.kernels.posenc_mlp_pallas import make_fused_field
+        return make_fused_field(cfg), make_fused_field(cfg)
+    return field, field
+
+
+def make_train_step(cfg: Config, dataset: RayDataset):
+    """Returns a jitted step: (state, all_rays) → (state, metrics dict)."""
+    field_c, field_f = make_fields(cfg)
+    tx = make_optimizer(cfg)
+    use_fine = cfg.sampling.n_fine > 0
+    n_total = dataset.n_rays
+    crop_idx = dataset.crop_idx if cfg.train.precrop_iters > 0 else None
+    use_pallas_render = cfg.kernels.use_pallas and cfg.kernels.fused_render
+
+    def loss_fn(params, batch, key):
+        cond = _make_cond(cfg, params, batch)
+        fc = functools.partial(_with_viewdirs(field_c), params["coarse"],
+                               batch["viewdirs"])
+        ff = (functools.partial(_with_viewdirs(field_f), params["fine"],
+                                batch["viewdirs"]) if use_fine else None)
+        out = render_rays(fc, ff, batch["rays_o"], batch["rays_d"], key, cfg,
+                          train=True, cond=cond,
+                          use_pallas_render=use_pallas_render)
+        loss_c = jnp.mean((out["coarse"]["rgb"] - batch["rgb"]) ** 2)
+        loss = loss_c
+        loss_f = loss_c
+        if use_fine:
+            loss_f = jnp.mean((out["fine"]["rgb"] - batch["rgb"]) ** 2)
+            loss = loss_c + loss_f
+        return loss, {"mse_coarse": loss_c, "mse_fine": loss_f}
+
+    def train_step(state: TrainState, all_rays: dict):
+        key, k_idx, k_render = jax.random.split(state.key, 3)
+        # device-side ray-batch gather (no host in the loop)
+        idx = jax.random.randint(k_idx, (cfg.train.batch_rays,), 0, n_total)
+        if crop_idx is not None:
+            k_crop = jax.random.fold_in(k_idx, 1)
+            sel = jax.random.randint(k_crop, (cfg.train.batch_rays,), 0,
+                                     crop_idx.shape[0])
+            idx = jnp.where(state.step < cfg.train.precrop_iters,
+                            crop_idx[sel], idx)
+        batch = {k: jnp.take(v, idx, axis=0) for k, v in all_rays.items()}
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, k_render)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state, key=key)
+        metrics = {"loss": loss, "psnr": mse_to_psnr(aux["mse_fine"]),
+                   **aux}
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def _with_viewdirs(field):
+    """Adapt field(params, pts, viewdirs, cond) to the renderer's bound-field
+    convention where viewdirs is captured (renderer passes rays_d which in
+    NDC mode is not the view direction)."""
+    def bound(params, viewdirs, pts, _rays_d, cond):
+        return field(params, pts, viewdirs, cond)
+    return bound
+
+
+def _make_cond(cfg: Config, params, batch):
+    """Assemble per-ray conditioning features: garment encoding and/or
+    per-frame latent codes (BASELINE.json:10-11)."""
+    parts = []
+    if cfg.model.conditioned and "encoder" in params and "garment" in batch:
+        from fashion_nerf.models.conditioned import GarmentEncoder
+        enc = GarmentEncoder(out_dim=cfg.model.condition_dim)
+        feat = enc.apply(params["encoder"], batch["garment"])
+        parts.append(feat)
+    if cfg.model.n_latents > 0 and "latents" in params:
+        from fashion_nerf.models.latents import LatentTable
+        table = LatentTable(cfg.model.n_latents, cfg.model.latent_dim)
+        parts.append(table.apply(params["latents"], batch["frame_ids"]))
+    if not parts:
+        return None
+    return jnp.concatenate(parts, axis=-1)
+
+
+def evaluate(cfg: Config, state: TrainState, dataset, key=None):
+    """Render the held-out view and compute PSNR (eval cadence of §3.1)."""
+    field_c, field_f = make_fields(cfg)
+    cond = None
+    fc = functools.partial(_eval_field(field_c), state.params["coarse"])
+    ff = (functools.partial(_eval_field(field_f), state.params["fine"])
+          if cfg.sampling.n_fine > 0 else None)
+    out = render_image(fc, ff, dataset.H, dataset.W, dataset.focal,
+                       jnp.asarray(dataset.val_pose), cfg, cond=cond,
+                       use_pallas_render=cfg.kernels.use_pallas
+                       and cfg.kernels.fused_render)
+    val_psnr = psnr_fn(out["rgb"], jnp.asarray(dataset.val_image))
+    return out, float(val_psnr)
+
+
+def _eval_field(field):
+    def bound(params, pts, viewdirs, cond):
+        return field(params, pts, viewdirs, cond)
+    return bound
+
+
+def train(cfg: Config, dataset_dict: Optional[dict] = None,
+          log_fn: Optional[Callable] = None, mesh=None):
+    """Full training driver: data → state → jitted step → loop with
+    log/eval/ckpt cadences. Returns (state, history)."""
+    from fashion_nerf import ckpt as ckpt_lib
+    from fashion_nerf.logging_ import MetricLogger
+
+    if dataset_dict is None:
+        dataset_dict = _load_dataset(cfg)
+    dataset = RayDataset(dataset_dict["images"], dataset_dict["poses"],
+                         dataset_dict["focal"], ndc=cfg.render.ndc,
+                         precrop_frac=cfg.train.precrop_frac)
+    dataset.val_image = dataset_dict["val_image"]
+    dataset.val_pose = dataset_dict["val_pose"]
+
+    key = jax.random.PRNGKey(cfg.train.seed)
+    state = create_train_state(cfg, key)
+    step_fn = make_train_step(cfg, dataset)
+    all_rays = dataset.batch_arrays()
+
+    logger = log_fn or MetricLogger(cfg)
+    ckpt_dir = f"{cfg.out_dir}/{cfg.name}/ckpt"
+    history = []
+    t0 = time.perf_counter()
+    rays_done = 0
+    for i in range(int(cfg.train.iters)):
+        state, metrics = step_fn(state, all_rays)
+        rays_done += cfg.train.batch_rays
+        if (i + 1) % cfg.train.log_every == 0:
+            jax.block_until_ready(metrics["loss"])
+            # per-window throughput (cumulative would fold in compile time
+            # and eval/ckpt pauses)
+            now = time.perf_counter()
+            entry = {k: float(v) for k, v in metrics.items()}
+            entry.update(step=i + 1, rays_per_sec=rays_done / (now - t0))
+            t0, rays_done = now, 0
+            history.append(entry)
+            logger(entry)
+        if (i + 1) % cfg.train.eval_every == 0:
+            _, val_psnr = evaluate(cfg, state, dataset)
+            logger({"step": i + 1, "val_psnr": val_psnr})
+            history.append({"step": i + 1, "val_psnr": val_psnr})
+            t0 = time.perf_counter()  # keep eval out of the throughput window
+        if (i + 1) % cfg.train.ckpt_every == 0:
+            ckpt_lib.save(ckpt_dir, state, keep=cfg.train.ckpt_keep)
+            t0 = time.perf_counter()
+    ckpt_lib.finalize()
+    return state, history
+
+
+def _load_dataset(cfg: Config) -> dict:
+    if cfg.data.dataset == "tiny":
+        from fashion_nerf.data.tiny import load_tiny
+        return load_tiny(cfg.data.root)
+    if cfg.data.dataset == "blender":
+        from fashion_nerf.data.blender import load_blender
+        return load_blender(cfg.data.root, half_res=cfg.data.half_res,
+                            white_bkgd=cfg.render.white_bkgd)
+    if cfg.data.dataset == "llff":
+        from fashion_nerf.data.llff import load_llff
+        return load_llff(cfg.data.root, factor=cfg.data.llff_factor,
+                         spherify=cfg.data.llff_spherify)
+    if cfg.data.dataset == "viton":
+        from fashion_nerf.data.viton import load_viton_scene
+        return load_viton_scene(cfg.data.root)
+    raise ValueError(f"unknown dataset {cfg.data.dataset!r}")
