@@ -1,0 +1,77 @@
+"""Benchmark harness (BASELINE.json:2: rays/sec/chip at 800×800 render).
+
+run_bench(cfg) measures steady-state full-image render throughput of the
+flagship coarse+fine model on the current chip and returns the one-line
+metric dict the driver records. bench.py at the repo root wraps this.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fashion_nerf.config import Config, load_config
+from fashion_nerf.render.renderer import render_image
+from fashion_nerf.train.loop import make_fields
+from fashion_nerf.train.state import create_train_state
+
+NORTH_STAR_RAYS_PER_SEC = 10_000_000  # BASELINE.json:5 target on v5e
+
+
+def run_bench(cfg: Config, H: int = 800, W: int = 800, warmup: int = 1,
+              iters: int = 3) -> dict:
+    """Render H×W with the cfg's sampling stack; report rays/sec/chip."""
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    field_c, field_f = make_fields(cfg)
+    params = jax.device_get(state.params)
+    use_pallas = cfg.kernels.use_pallas and cfg.kernels.fused_render
+
+    fc = functools.partial(field_c, params["coarse"])
+    ff = (functools.partial(field_f, params["fine"])
+          if cfg.sampling.n_fine > 0 else None)
+    focal = 0.5 * W / np.tan(0.5 * 0.6911)   # blender-standard fov
+    c2w = np.eye(4, dtype=np.float32)[:3]
+    c2w[2, 3] = 4.0
+
+    render = jax.jit(lambda pose: render_image(
+        fc, ff, H, W, focal, pose, cfg,
+        use_pallas_render=use_pallas)["rgb"])
+
+    pose = jnp.asarray(c2w)
+    for _ in range(warmup):
+        jax.block_until_ready(render(pose))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        jax.block_until_ready(render(pose))
+    dt = (time.perf_counter() - t0) / iters
+
+    rays_per_sec = H * W / dt
+    samples = cfg.sampling.n_coarse + (cfg.sampling.n_coarse
+                                       + cfg.sampling.n_fine
+                                       if cfg.sampling.n_fine > 0 else 0)
+    return {
+        "metric": "rays/sec/chip at 800x800 render (coarse+fine, "
+                  f"{samples} field evals/ray)",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/sec",
+        "vs_baseline": round(rays_per_sec / NORTH_STAR_RAYS_PER_SEC, 4),
+        "frame_seconds": round(dt, 4),
+        "config": cfg.name,
+        "pallas": bool(cfg.kernels.use_pallas),
+        "device": str(jax.devices()[0]),
+    }
+
+
+def main():
+    cfg = load_config("blender_lego")
+    result = run_bench(cfg)
+    import json
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

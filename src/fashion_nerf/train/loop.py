@@ -38,14 +38,24 @@ def make_fields(cfg: Config):
     return field, field
 
 
-def make_train_step(cfg: Config, dataset: RayDataset):
-    """Returns a jitted step: (state, all_rays) → (state, metrics dict)."""
+def make_train_step(cfg: Config, dataset: RayDataset, mesh=None):
+    """Returns a jitted step: (state, all_rays) → (state, metrics dict).
+
+    With a mesh, the gathered ray batch is constrained to shard over the
+    "dp" axis; params follow their own (replicated or tp-sharded) placement
+    and XLA inserts the gradient psum over ICI (SURVEY.md §2.4).
+    """
     field_c, field_f = make_fields(cfg)
     tx = make_optimizer(cfg)
     use_fine = cfg.sampling.n_fine > 0
     n_total = dataset.n_rays
     crop_idx = dataset.crop_idx if cfg.train.precrop_iters > 0 else None
     use_pallas_render = cfg.kernels.use_pallas and cfg.kernels.fused_render
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        batch_sharding = NamedSharding(mesh, P("dp"))
+    else:
+        batch_sharding = None
 
     def loss_fn(params, batch, key):
         cond = _make_cond(cfg, params, batch)
@@ -75,6 +85,10 @@ def make_train_step(cfg: Config, dataset: RayDataset):
             idx = jnp.where(state.step < cfg.train.precrop_iters,
                             crop_idx[sel], idx)
         batch = {k: jnp.take(v, idx, axis=0) for k, v in all_rays.items()}
+        if batch_sharding is not None:
+            batch = jax.lax.with_sharding_constraint(
+                batch, jax.tree_util.tree_map(lambda _: batch_sharding,
+                                              batch))
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, k_render)

@@ -1,0 +1,108 @@
+"""Distributed tests without a cluster (SURVEY.md §4.5): an 8-virtual-device
+CPU mesh must produce numerics identical to single-device execution, since
+DP only re-places the same computation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from fashion_nerf.config import load_config
+from fashion_nerf.data.pipeline import RayDataset
+from fashion_nerf.data.synthetic import make_synthetic_scene
+from fashion_nerf.dist.mesh import make_mesh, param_shardings, shard_state
+from fashion_nerf.train.loop import make_train_step
+from fashion_nerf.train.state import create_train_state
+
+_OVR = ["model.net_depth=2", "model.net_width=32", "model.posenc_xyz=4",
+        "model.posenc_dir=2", "sampling.n_coarse=8", "sampling.n_fine=8",
+        "train.batch_rays=64", "train.precrop_iters=0",
+        "kernels.use_pallas=false"]
+
+
+def _cpu_devices(n):
+    devs = jax.devices("cpu")
+    if len(devs) < n:
+        pytest.skip(f"need {n} cpu devices, have {len(devs)}")
+    return devs[:n]
+
+
+@pytest.fixture(scope="module")
+def problem():
+    cfg = load_config("blender_lego", _OVR)
+    scene = make_synthetic_scene(n_views=2, H=8, W=8, n_samples=8)
+    ds = RayDataset(scene["images"], scene["poses"], scene["focal"])
+    return cfg, ds
+
+
+def _run_steps(cfg, ds, mesh, n_steps=3):
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    if mesh is not None:
+        state = shard_state(mesh, state)
+        all_rays = jax.device_put(ds.batch_arrays(),
+                                  NamedSharding(mesh, P()))
+    else:
+        all_rays = ds.batch_arrays()
+    step_fn = make_train_step(cfg, ds, mesh=mesh)
+    losses = []
+    for _ in range(n_steps):
+        state, m = step_fn(state, all_rays)
+        losses.append(float(m["loss"]))
+    return losses, jax.device_get(state.params)
+
+
+def test_dp8_matches_single_device(problem):
+    cfg, ds = problem
+    mesh8 = make_mesh(dp=8, tp=1, devices=_cpu_devices(8))
+    losses_1, params_1 = _run_steps(cfg, ds, mesh=None)
+    losses_8, params_8 = _run_steps(cfg, ds, mesh=mesh8)
+    np.testing.assert_allclose(losses_1, losses_8, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(params_1),
+                    jax.tree_util.tree_leaves(params_8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_dp4_tp2_runs_and_matches(problem):
+    cfg, ds = problem
+    mesh = make_mesh(dp=4, tp=2, devices=_cpu_devices(8))
+    losses_1, _ = _run_steps(cfg, ds, mesh=None)
+    losses, params = _run_steps(cfg, ds, mesh=mesh)
+    assert np.isfinite(losses).all()
+    np.testing.assert_allclose(losses_1, losses, rtol=1e-4)
+
+
+def test_param_shardings_tp():
+    cfg = load_config("blender_lego", _OVR)
+    mesh = make_mesh(dp=4, tp=2, devices=_cpu_devices(8))
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    shardings = param_shardings(mesh, state.params)
+    # trunk kernels column-shard over tp; heads replicated
+    coarse = shardings["coarse"]["params"]
+    assert coarse["trunk_0"]["kernel"].spec == P(None, "tp")
+    assert coarse["rgb_head"]["kernel"].spec == P()
+
+
+def test_psum_gradient_reduction_matches_hand_sum():
+    """DP grad reduction: mean over a sharded batch must equal the hand-split
+    per-shard mean of means (equal shard sizes)."""
+    devs = _cpu_devices(8)
+    mesh = make_mesh(dp=8, tp=1, devices=devs)
+    w = jnp.ones((4,), jnp.float32) * 0.5
+    x = jnp.arange(64, dtype=jnp.float32).reshape(16, 4) / 64.0
+    y = jnp.ones((16,), jnp.float32)
+
+    def loss(w, x, y):
+        return jnp.mean((x @ w - y) ** 2)
+
+    g_single = jax.grad(loss)(w, x, y)
+    xs = jax.device_put(x, NamedSharding(mesh, P("dp")))
+    ys = jax.device_put(y, NamedSharding(mesh, P("dp")))
+    g_sharded = jax.jit(jax.grad(loss))(w, xs, ys)
+    np.testing.assert_allclose(np.asarray(g_single),
+                               np.asarray(g_sharded), rtol=1e-6)
+    # hand-summed reference over the 8 shards
+    parts = [jax.grad(loss)(w, x[i * 2:(i + 1) * 2], y[i * 2:(i + 1) * 2])
+             for i in range(8)]
+    hand = sum(np.asarray(p) for p in parts) / 8.0
+    np.testing.assert_allclose(hand, np.asarray(g_sharded), rtol=1e-5)
