@@ -42,11 +42,17 @@ def run_bench(cfg: Config, H: int = 800, W: int = 800, warmup: int = 1,
         use_pallas_render=use_pallas)["rgb"])
 
     pose = jnp.asarray(c2w)
+
+    def sync(out):
+        # block_until_ready is a silent no-op through the axon tunnel;
+        # pulling a scalar to host is the reliable completion barrier
+        return float(out[0, 0, 0])
+
     for _ in range(warmup):
-        jax.block_until_ready(render(pose))
+        sync(render(pose))
     t0 = time.perf_counter()
     for _ in range(iters):
-        jax.block_until_ready(render(pose))
+        sync(render(pose))
     dt = (time.perf_counter() - t0) / iters
 
     rays_per_sec = H * W / dt

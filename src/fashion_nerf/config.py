@@ -22,6 +22,7 @@ class ModelConfig:
     posenc_dir: int = 4           # L for view dirs → 3+3*2*4 = 27 dims
     use_viewdirs: bool = True
     sigma_activation: str = "relu"   # relu | softplus
+    compute_dtype: str = "float32"   # activation/matmul dtype (params stay f32)
     # garment conditioning (BASELINE.json:10)
     conditioned: bool = False
     condition_dim: int = 64       # garment feature dim injected into the trunk
@@ -132,7 +133,7 @@ _register(Config(
 # [B]:8 NeRF-synthetic Blender 800×800, coarse+fine hierarchical (64+128 = 192 samples/ray)
 _register(Config(
     name="blender_lego",
-    model=ModelConfig(),
+    model=ModelConfig(compute_dtype="bfloat16"),
     sampling=SamplingConfig(n_coarse=64, n_fine=128, raw_noise_std=0.0),
     render=RenderConfig(near=2.0, far=6.0, white_bkgd=True, chunk=32768),
     kernels=KernelConfig(use_pallas=True),

@@ -69,15 +69,25 @@ def sample_pdf(key, bins, weights, n_samples: int, det: bool = False,
     else:
         u = jax.random.uniform(key, (R, n_samples), dtype=jnp.float32)
 
-    # searchsorted per-ray: index of first cdf edge > u
-    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
-    below = jnp.clip(inds - 1, 0, cdf.shape[-1] - 1)
-    above = jnp.clip(inds, 0, cdf.shape[-1] - 1)
-
-    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
-    bin_below = jnp.take_along_axis(bins, below, axis=-1)
-    bin_above = jnp.take_along_axis(bins, above, axis=-1)
+    # Inverse CDF WITHOUT searchsorted/gather: both cdf and bins are monotone
+    # in the bin index, so cdf[below]/bins[below] (= values at the last edge
+    # with cdf ≤ u) are masked MAX reductions over the bin axis, and the
+    # [above] values (first edge with cdf > u) are masked MIN reductions.
+    # XLA fuses compare+select+reduce without materializing (R, N, B+1);
+    # a vmapped searchsorted + take_along_axis lowers to per-row dynamic
+    # gathers costing ~6 s per 800×800 frame on TPU (measured) vs ~30 ms
+    # for this formulation.
+    below_mask = cdf[:, None, :] <= u[:, :, None]               # (R, N, B+1)
+    _NEG, _POS = -1e10, 1e10
+    cdf_below = jnp.max(jnp.where(below_mask, cdf[:, None, :], _NEG), -1)
+    bin_below = jnp.max(jnp.where(below_mask, bins[:, None, :], _NEG), -1)
+    cdf_above = jnp.min(jnp.where(below_mask, _POS, cdf[:, None, :]), -1)
+    bin_above = jnp.min(jnp.where(below_mask, _POS, bins[:, None, :]), -1)
+    # u below cdf[0]=0 cannot happen (u ≥ 0); u ≥ cdf[-1] leaves the "above"
+    # reductions empty (+inf) — clamp to the last edge.
+    empty_above = cdf_above >= _POS * 0.5
+    cdf_above = jnp.where(empty_above, cdf[:, -1:], cdf_above)
+    bin_above = jnp.where(empty_above, bins[:, -1:], bin_above)
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < eps, 1.0, denom)

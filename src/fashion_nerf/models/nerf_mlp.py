@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from typing import Optional, Sequence, Tuple
 
+import functools
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -25,6 +27,7 @@ class NeRFMLP(nn.Module):
     width: int = 256
     skips: Tuple[int, ...] = (4,)
     use_viewdirs: bool = True
+    dtype: str = "float32"   # activation/matmul dtype; params stay float32
 
     @nn.compact
     def __call__(self, x_enc, d_enc=None, cond=None):
@@ -35,26 +38,32 @@ class NeRFMLP(nn.Module):
 
         Returns (rgb_raw (...,3), sigma_raw (...,)).
         """
+        dt = jnp.dtype(self.dtype)
+        dense = functools.partial(nn.Dense, dtype=dt,
+                                  param_dtype=jnp.float32)
         trunk_in = (x_enc if cond is None
                     else jnp.concatenate([x_enc, cond], axis=-1))
+        trunk_in = trunk_in.astype(dt)
         h = trunk_in
         for i in range(self.depth):
-            h = nn.Dense(self.width, name=f"trunk_{i}")(h)
+            h = dense(self.width, name=f"trunk_{i}")(h)
             h = nn.relu(h)
             if i in self.skips and i + 1 < self.depth:
                 h = jnp.concatenate([trunk_in, h], axis=-1)
 
         if self.use_viewdirs:
-            sigma = nn.Dense(1, name="sigma_head")(h)[..., 0]
-            feat = nn.Dense(self.width, name="feature")(h)
+            sigma = dense(1, name="sigma_head")(h)[..., 0]
+            feat = dense(self.width, name="feature")(h)
             assert d_enc is not None, "use_viewdirs=True requires d_enc"
-            h2 = jnp.concatenate([feat, d_enc], axis=-1)
-            h2 = nn.relu(nn.Dense(self.width // 2, name="view_0")(h2))
-            rgb = nn.Dense(3, name="rgb_head")(h2)
+            h2 = jnp.concatenate([feat, d_enc.astype(dt)], axis=-1)
+            h2 = nn.relu(dense(self.width // 2, name="view_0")(h2))
+            rgb = dense(3, name="rgb_head")(h2)
         else:
-            out = nn.Dense(4, name="out_head")(h)
+            out = dense(4, name="out_head")(h)
             rgb, sigma = out[..., :3], out[..., 3]
-        return rgb, sigma
+        # heads return f32 regardless of compute dtype (volume rendering and
+        # losses run in f32)
+        return rgb.astype(jnp.float32), sigma.astype(jnp.float32)
 
 
 def make_field(mcfg: ModelConfig):
@@ -65,7 +74,8 @@ def make_field(mcfg: ModelConfig):
         -> (rgb (R,S,3) post-sigmoid, sigma (R,S) raw).
     """
     module = NeRFMLP(depth=mcfg.net_depth, width=mcfg.net_width,
-                     skips=mcfg.skips, use_viewdirs=mcfg.use_viewdirs)
+                     skips=mcfg.skips, use_viewdirs=mcfg.use_viewdirs,
+                     dtype=mcfg.compute_dtype)
 
     def field(params, pts, viewdirs=None, cond=None):
         S = pts.shape[-2]
@@ -89,7 +99,8 @@ def make_field(mcfg: ModelConfig):
 def init_field(key, mcfg: ModelConfig, cond_dim: int = 0):
     """Initialize params with dummy shapes matching the field convention."""
     module = NeRFMLP(depth=mcfg.net_depth, width=mcfg.net_width,
-                     skips=mcfg.skips, use_viewdirs=mcfg.use_viewdirs)
+                     skips=mcfg.skips, use_viewdirs=mcfg.use_viewdirs,
+                     dtype=mcfg.compute_dtype)
     x_enc = jnp.zeros((1, 1, 3 * (2 * mcfg.posenc_xyz + 1)))
     d_enc = (jnp.zeros((1, 1, 3 * (2 * mcfg.posenc_dir + 1)))
              if mcfg.use_viewdirs else None)

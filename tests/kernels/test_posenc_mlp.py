@@ -1,0 +1,100 @@
+"""Kernel equivalence (SURVEY.md §4.3): the Pallas fused posenc+MLP vs its
+XLA twin. Interpreter mode runs hermetically on CPU; the compiled kernel runs
+under FASHION_NERF_TEST_TPU=1 on real hardware (skipped, not faked, on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conftest import on_tpu
+from fashion_nerf.config import load_config
+from fashion_nerf.kernels.posenc_mlp_pallas import make_fused_field
+from fashion_nerf.models.nerf_mlp import init_field, make_field
+from fashion_nerf.train.state import create_train_state
+
+
+def _mk(overrides, interpret):
+    cfg = load_config("blender_lego",
+                      ["kernels.use_pallas=true",
+                       f"kernels.interpret={'true' if interpret else 'false'}"]
+                      + overrides)
+    params = init_field(jax.random.PRNGKey(0), cfg.model)
+    _, xla_field = make_field(cfg.model)
+    fused = make_fused_field(cfg)
+    return cfg, params, xla_field, fused
+
+
+def _compare(overrides, interpret, R=32, S=16, tol=3e-2):
+    cfg, params, xla_field, fused = _mk(overrides, interpret)
+    key = jax.random.PRNGKey(1)
+    pts = jax.random.uniform(key, (R, S, 3), minval=-2, maxval=2)
+    dirs = jax.random.normal(jax.random.PRNGKey(2), (R, 3))
+    rgb_x, sig_x = xla_field(params, pts, dirs, None)
+    rgb_p, sig_p = fused(params, pts, dirs, None)
+    assert rgb_p.shape == rgb_x.shape and sig_p.shape == sig_x.shape
+    # bf16 matmuls: tolerance is relative to activation scale, not 1e-5
+    np.testing.assert_allclose(np.asarray(rgb_p), np.asarray(rgb_x),
+                               atol=tol)
+    sx = np.asarray(sig_x)
+    np.testing.assert_allclose(np.asarray(sig_p), sx,
+                               atol=tol * max(1.0, np.abs(sx).max()))
+
+
+def test_fused_matches_xla_interpret():
+    _compare([], interpret=True)
+
+
+def test_fused_no_viewdirs_interpret():
+    _compare(["model.use_viewdirs=false"], interpret=True)
+
+
+def test_fused_small_net_interpret():
+    _compare(["model.net_depth=3", "model.net_width=32",
+              "model.posenc_xyz=4"], interpret=True)
+
+
+@pytest.mark.tpu
+def test_fused_matches_xla_tpu():
+    _compare([], interpret=False, R=64, S=32)
+
+
+@pytest.mark.tpu
+def test_fused_gradients_flow_tpu():
+    cfg, params, xla_field, fused = _mk([], interpret=False)
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (16, 8, 3))
+    dirs = jax.random.normal(jax.random.PRNGKey(2), (16, 3))
+
+    # linear loss → cotangent is constant, so the custom-VJP (XLA recompute)
+    # must match the pure-XLA gradient exactly; a quadratic loss would feed
+    # the bf16 fused outputs into the cotangent and differ at bf16 scale.
+    def loss_fused(p):
+        rgb, sig = fused(p, pts, dirs, None)
+        return jnp.mean(rgb) + jnp.mean(sig)
+
+    def loss_xla(p):
+        rgb, sig = xla_field(p, pts, dirs, None)
+        return jnp.mean(rgb) + jnp.mean(sig)
+
+    g_f = jax.grad(loss_fused)(params)
+    g_x = jax.grad(loss_xla)(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_f),
+                    jax.tree_util.tree_leaves(g_x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5)
+
+    # quadratic loss sanity: grads agree to bf16-forward tolerance
+    def q_fused(p):
+        rgb, sig = fused(p, pts, dirs, None)
+        return jnp.mean(rgb ** 2)
+
+    def q_xla(p):
+        rgb, sig = xla_field(p, pts, dirs, None)
+        return jnp.mean(rgb ** 2)
+
+    gq_f = jax.tree_util.tree_leaves(jax.grad(q_fused)(params))
+    gq_x = jax.tree_util.tree_leaves(jax.grad(q_xla)(params))
+    for a, b in zip(gq_f, gq_x):
+        scale = max(1e-3, float(np.abs(np.asarray(b)).max()))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=0.05 * scale)
