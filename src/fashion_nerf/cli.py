@@ -35,7 +35,9 @@ def main(argv=None):
     args = _parser().parse_args(argv)
     from fashion_nerf.config import load_config, config_to_dict
     cfg = load_config(args.config, args.overrides)
-    if args.out and args.cmd == "train":
+    if args.out:
+        # --out is the RUN directory for every subcommand (checkpoints live
+        # under <out>/<config>/ckpt; render/preprocess write subdirs there)
         import dataclasses
         cfg = dataclasses.replace(cfg, out_dir=args.out)
 
@@ -76,7 +78,7 @@ def _profiler(run_dir: str):
 
 def _cmd_train(cfg, args):
     from fashion_nerf.train.loop import train
-    state, history = train(cfg)
+    state, history = train(cfg, resume=args.resume)
     print(json.dumps({"done": True, "steps": int(state.step),
                       "final": history[-1] if history else None}))
     return 0
@@ -94,8 +96,9 @@ def _restored_state(cfg):
 def _cmd_render(cfg, args):
     import jax.numpy as jnp
     import numpy as np
-    from fashion_nerf.train.loop import _load_dataset, make_fields
-    from fashion_nerf.render.renderer import render_path
+    from fashion_nerf.train.loop import (_eval_cond, _load_dataset,
+                                         make_fields)
+    from fashion_nerf.render.renderer import render_image, render_path
     import functools
 
     state = _restored_state(cfg)
@@ -105,8 +108,24 @@ def _cmd_render(cfg, args):
     ff = (functools.partial(field_f, state.params["fine"])
           if cfg.sampling.n_fine > 0 else None)
     poses = d.get("render_poses", d["poses"])
-    frames = render_path(fc, ff, poses, d["H"], d["W"], d["focal"], cfg)
-    out = args.out or os.path.join(cfg.out_dir, cfg.name, "render")
+    from fashion_nerf.train.loop import resolve_garment
+    garment = resolve_garment(cfg, d, d["H"], d["W"])
+    if cfg.model.n_latents > 0:
+        # dynamic try-on (BASELINE.json:11): rotating-subject video with a
+        # per-frame latent code — one render per (pose, latent) pair
+        frames = []
+        for i, pose in enumerate(np.asarray(poses)):
+            cond = _eval_cond(cfg, state.params, garment,
+                              frame_id=i % max(cfg.model.n_latents, 1))
+            out = render_image(fc, ff, d["H"], d["W"], d["focal"],
+                               jnp.asarray(pose), cfg, cond=cond)
+            frames.append(out["rgb"])
+        frames = jnp.stack(frames)
+    else:
+        cond = _eval_cond(cfg, state.params, garment)
+        frames = render_path(fc, ff, poses, d["H"], d["W"], d["focal"],
+                             cfg, cond=cond)
+    out = os.path.join(cfg.out_dir, cfg.name, "render")
     os.makedirs(out, exist_ok=True)
     import imageio.v2 as imageio
     arr = np.clip(np.asarray(frames), 0, 1)
@@ -130,18 +149,22 @@ def _cmd_eval(cfg, args):
     from fashion_nerf.render.renderer import render_image
     from fashion_nerf.train.loop import _load_dataset, make_fields
 
+    from fashion_nerf.train.loop import _eval_cond
     state = _restored_state(cfg)
     d = _load_dataset(cfg)
     field_c, field_f = make_fields(cfg)
     fc = functools.partial(field_c, state.params["coarse"])
     ff = (functools.partial(field_f, state.params["fine"])
           if cfg.sampling.n_fine > 0 else None)
+    from fashion_nerf.train.loop import resolve_garment
+    cond = _eval_cond(cfg, state.params,
+                      resolve_garment(cfg, d, d["H"], d["W"]))
     test_images = d.get("test_images", d["val_image"][None])
     test_poses = d.get("test_poses", np.asarray(d["val_pose"])[None])
     scores = []
     for img, pose in zip(test_images, test_poses):
         out = render_image(fc, ff, d["H"], d["W"], d["focal"],
-                           jnp.asarray(pose), cfg)
+                           jnp.asarray(pose), cfg, cond=cond)
         scores.append((float(psnr(out["rgb"], jnp.asarray(img))),
                        float(ssim(out["rgb"], jnp.asarray(img)))))
     mean_psnr = sum(s[0] for s in scores) / len(scores)

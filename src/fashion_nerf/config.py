@@ -174,7 +174,9 @@ _register(Config(
     render=RenderConfig(near=2.0, far=6.0, white_bkgd=True, chunk=16384),
     kernels=KernelConfig(use_pallas=True),
     train=TrainConfig(iters=100_000, batch_rays=2048),
-    data=DataConfig(dataset="blender", frame_ids=tuple(range(64))),
+    # hermetic default (procedural multi-view scene with per-frame latents);
+    # point data.root at a real capture for production runs
+    data=DataConfig(dataset="tiny", frame_ids=tuple(range(64))),
 ))
 
 

@@ -127,6 +127,14 @@ def _mm(a, w):
     return jnp.dot(a, w, preferred_element_type=jnp.float32)
 
 
+def _mm_f32(a, w):
+    # full-f32 matmul: the PHASE computation must not round positions to
+    # bf16 — at the top band the 2^(L-1) scaling turns a bf16 position
+    # quantum (~4e-3 relative) into ~2 radians of phase error
+    return jnp.dot(a, w, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
 _INTERLEAVE = 2  # independent row-halves per tile so Mosaic can overlap the
                  # MXU matmul of one half with the VPU relu/cast of the other
                  # (a single dependent chain leaves the MXU idle every layer)
@@ -142,7 +150,7 @@ def _field_kernel(plan, L, Ld, pts_ref, dirs_ref, fmat_ref, fdmat_ref,
 
     def run_half(x, d):
         it = iter(ws)
-        P = _mm(x, fmat_ref[:])          # f32 phases (bf16 sin(2^9·x) would
+        P = _mm_f32(x, fmat_ref[:])      # f32 phases (bf16 sin(2^9·x) would
         Sn = jnp.sin(P).astype(bf)       # be garbage)
         Cs = jnp.cos(P).astype(bf)
         x_bf = x.astype(bf)
@@ -174,7 +182,7 @@ def _field_kernel(plan, L, Ld, pts_ref, dirs_ref, fmat_ref, fdmat_ref,
 
             sigma = _mm(h, w_sig) + b_sig                    # (T, 1)
             feat = (_mm(h, w_feat) + b_feat).astype(bf)
-            Pd = _mm(d, fdmat_ref[:])                        # (T, 3Ld)
+            Pd = _mm_f32(d, fdmat_ref[:])                    # (T, 3Ld)
             h2 = (_mm(feat, Wf) + _mm(d.astype(bf), Wdx)
                   + _mm(jnp.sin(Pd).astype(bf), Wds)
                   + _mm(jnp.cos(Pd).astype(bf), Wdc) + b_v)

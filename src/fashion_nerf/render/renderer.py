@@ -64,8 +64,14 @@ def render_rays(field_coarse: Callable, field_fine: Optional[Callable],
     # hierarchical: PDF over coarse intervals, union-sort with coarse samples
     t_mid = 0.5 * (t_c[:, 1:] + t_c[:, :-1])
     w_mid = jax.lax.stop_gradient(out_c["weights"][:, 1:-1])
-    t_f = sample_pdf(k_pdf, t_mid, w_mid, scfg.n_fine,
-                     det=not (train and scfg.perturb))
+    if cfg.kernels.use_pallas and cfg.kernels.fused_resample:
+        from fashion_nerf.kernels.resample_pallas import resample_cdf
+        t_f = resample_cdf(k_pdf, t_mid, w_mid, scfg.n_fine,
+                           det=not (train and scfg.perturb),
+                           interpret=cfg.kernels.interpret)
+    else:
+        t_f = sample_pdf(k_pdf, t_mid, w_mid, scfg.n_fine,
+                         det=not (train and scfg.perturb))
     t_all = jnp.sort(jnp.concatenate([t_c, t_f], axis=-1), axis=-1)
 
     pts_f = rays_o[:, None, :] + rays_d[:, None, :] * t_all[..., None]
@@ -106,6 +112,10 @@ def render_image(field_coarse, field_fine, H: int, W: int, focal, c2w,
     # For the non-NDC case rays_d == viewdirs, so one code path suffices: the
     # field closure receives viewdirs separately.
 
+    # cond: per-scene vector (Cc,) broadcast to each chunk's rays
+    cond_chunk = (jnp.broadcast_to(cond, (chunk, cond.shape[-1]))
+                  if cond is not None else None)
+
     def render_chunk(args):
         o, d, v = args
         def fc(pts, _rd, cnd):
@@ -114,7 +124,8 @@ def render_image(field_coarse, field_fine, H: int, W: int, focal, c2w,
         if field_fine is not None:
             def ff(pts, _rd, cnd):
                 return field_fine(pts, v, cnd)
-        return render_rays(fc, ff, o, d, key, cfg, train=False, cond=cond,
+        return render_rays(fc, ff, o, d, key, cfg, train=False,
+                           cond=cond_chunk,
                            use_pallas_render=use_pallas_render)
 
     out = jax.lax.map(render_chunk, (ro, rd, vd))

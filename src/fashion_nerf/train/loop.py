@@ -38,12 +38,16 @@ def make_fields(cfg: Config):
     return field, field
 
 
-def make_train_step(cfg: Config, dataset: RayDataset, mesh=None):
+def make_train_step(cfg: Config, dataset: RayDataset, mesh=None,
+                    garment=None):
     """Returns a jitted step: (state, all_rays) → (state, metrics dict).
 
     With a mesh, the gathered ray batch is constrained to shard over the
     "dp" axis; params follow their own (replicated or tp-sharded) placement
     and XLA inserts the gradient psum over ICI (SURVEY.md §2.4).
+
+    `garment`: optional (H, W, 7) conditioning stack (tryon/pipeline.py);
+    encoded once per step by GarmentEncoder and broadcast to every ray.
     """
     field_c, field_f = make_fields(cfg)
     tx = make_optimizer(cfg)
@@ -58,7 +62,7 @@ def make_train_step(cfg: Config, dataset: RayDataset, mesh=None):
         batch_sharding = None
 
     def loss_fn(params, batch, key):
-        cond = _make_cond(cfg, params, batch)
+        cond = _make_cond(cfg, params, batch, garment)
         fc = functools.partial(_with_viewdirs(field_c), params["coarse"],
                                batch["viewdirs"])
         ff = (functools.partial(_with_viewdirs(field_f), params["fine"],
@@ -113,28 +117,36 @@ def _with_viewdirs(field):
     return bound
 
 
-def _make_cond(cfg: Config, params, batch):
+def _make_cond(cfg: Config, params, batch, garment=None):
     """Assemble per-ray conditioning features: garment encoding and/or
     per-frame latent codes (BASELINE.json:10-11)."""
+    n_rays = batch["rays_o"].shape[0]
     parts = []
-    if cfg.model.conditioned and "encoder" in params and "garment" in batch:
-        from fashion_nerf.models.conditioned import GarmentEncoder
+    if cfg.model.conditioned and "encoder" in params and garment is not None:
+        from fashion_nerf.models.conditioned import GarmentEncoder, \
+            encode_garment
         enc = GarmentEncoder(out_dim=cfg.model.condition_dim)
-        feat = enc.apply(params["encoder"], batch["garment"])
-        parts.append(feat)
+        code = encode_garment(params["encoder"], garment, enc)  # (Cc,)
+        parts.append(jnp.broadcast_to(code, (n_rays, code.shape[-1])))
     if cfg.model.n_latents > 0 and "latents" in params:
         from fashion_nerf.models.latents import LatentTable
         table = LatentTable(cfg.model.n_latents, cfg.model.latent_dim)
-        parts.append(table.apply(params["latents"], batch["frame_ids"]))
+        ids = jnp.clip(batch["frame_ids"], 0, cfg.model.n_latents - 1)
+        parts.append(table.apply(params["latents"], ids))
     if not parts:
         return None
     return jnp.concatenate(parts, axis=-1)
 
 
-def evaluate(cfg: Config, state: TrainState, dataset, key=None):
-    """Render the held-out view and compute PSNR (eval cadence of §3.1)."""
+def evaluate(cfg: Config, state: TrainState, dataset, key=None,
+             garment=None, frame_id: int = 0):
+    """Render the held-out view and compute PSNR (eval cadence of §3.1).
+
+    Conditioned/dynamic runs rebuild the cond vector from the garment stack
+    and the given frame's latent (the held-out view has no latent of its
+    own, so frame 0's code is the standard stand-in)."""
     field_c, field_f = make_fields(cfg)
-    cond = None
+    cond = _eval_cond(cfg, state.params, garment, frame_id)
     fc = functools.partial(_eval_field(field_c), state.params["coarse"])
     ff = (functools.partial(_eval_field(field_f), state.params["fine"])
           if cfg.sampling.n_fine > 0 else None)
@@ -146,6 +158,43 @@ def evaluate(cfg: Config, state: TrainState, dataset, key=None):
     return out, float(val_psnr)
 
 
+def resolve_garment(cfg: Config, dataset_dict: dict, H: int, W: int):
+    """The garment conditioning stack for a run: the dataset's own, or —
+    for a conditioned config on a garment-less dataset (e.g. the hermetic
+    dynamic_tryon preset) — the procedural pair, so the encoder path stays
+    live and param shapes match init. Used by train AND render/eval (they
+    must agree or restored params won't match the field input width)."""
+    if not cfg.model.conditioned:
+        return None
+    if "garment" in dataset_dict:
+        return jnp.asarray(dataset_dict["garment"])
+    from fashion_nerf.data.viton import synth_viton_pair
+    from fashion_nerf.tryon.pipeline import build_conditioning
+    pair = synth_viton_pair(H, W)
+    return build_conditioning(pair, H, W)
+
+
+def _eval_cond(cfg: Config, params, garment, frame_id: int = 0):
+    """Per-scene cond VECTOR (Cc,) for whole-image rendering (the renderer
+    broadcasts it per chunk)."""
+    parts = []
+    if cfg.model.conditioned and "encoder" in params and garment is not None:
+        from fashion_nerf.models.conditioned import GarmentEncoder, \
+            encode_garment
+        enc = GarmentEncoder(out_dim=cfg.model.condition_dim)
+        parts.append(encode_garment(params["encoder"],
+                                    jnp.asarray(garment), enc))
+    if cfg.model.n_latents > 0 and "latents" in params:
+        from fashion_nerf.models.latents import LatentTable
+        table = LatentTable(cfg.model.n_latents, cfg.model.latent_dim)
+        parts.append(table.apply(
+            params["latents"],
+            jnp.asarray([frame_id], jnp.int32))[0])
+    if not parts:
+        return None
+    return jnp.concatenate(parts, axis=-1)
+
+
 def _eval_field(field):
     def bound(params, pts, viewdirs, cond):
         return field(params, pts, viewdirs, cond)
@@ -153,12 +202,20 @@ def _eval_field(field):
 
 
 def train(cfg: Config, dataset_dict: Optional[dict] = None,
-          log_fn: Optional[Callable] = None, mesh=None):
+          log_fn: Optional[Callable] = None, mesh=None,
+          resume: bool = False, fault_at_step: Optional[int] = None):
     """Full training driver: data → state → jitted step → loop with
-    log/eval/ckpt cadences. Returns (state, history)."""
+    log/eval/ckpt cadences. Returns (state, history).
+
+    resume: restore the latest Orbax checkpoint and continue the identical
+    trajectory (SURVEY.md §5.4). fault_at_step: test hook raising mid-run to
+    exercise kill-and-resume recovery (SURVEY.md §5.3).
+    """
     from fashion_nerf import ckpt as ckpt_lib
+    from fashion_nerf.dist.mesh import init_distributed
     from fashion_nerf.logging_ import MetricLogger
 
+    init_distributed(cfg.dist.multihost)
     if dataset_dict is None:
         dataset_dict = _load_dataset(cfg)
     dataset = RayDataset(dataset_dict["images"], dataset_dict["poses"],
@@ -169,15 +226,23 @@ def train(cfg: Config, dataset_dict: Optional[dict] = None,
 
     key = jax.random.PRNGKey(cfg.train.seed)
     state = create_train_state(cfg, key)
-    step_fn = make_train_step(cfg, dataset)
+    garment = resolve_garment(cfg, dataset_dict, dataset.H, dataset.W)
+    step_fn = make_train_step(cfg, dataset, mesh=mesh, garment=garment)
     all_rays = dataset.batch_arrays()
 
     logger = log_fn or MetricLogger(cfg)
     ckpt_dir = f"{cfg.out_dir}/{cfg.name}/ckpt"
+    start = 0
+    if resume and ckpt_lib.latest_step(ckpt_dir) is not None:
+        state = ckpt_lib.restore(ckpt_dir, state)
+        start = int(jax.device_get(state.step))
     history = []
     t0 = time.perf_counter()
     rays_done = 0
-    for i in range(int(cfg.train.iters)):
+    for i in range(start, int(cfg.train.iters)):
+        if fault_at_step is not None and i == fault_at_step:
+            raise RuntimeError(f"injected fault at step {i} "
+                               "(SURVEY.md §5.3 test hook)")
         state, metrics = step_fn(state, all_rays)
         rays_done += cfg.train.batch_rays
         if (i + 1) % cfg.train.log_every == 0:
@@ -191,7 +256,7 @@ def train(cfg: Config, dataset_dict: Optional[dict] = None,
             history.append(entry)
             logger(entry)
         if (i + 1) % cfg.train.eval_every == 0:
-            _, val_psnr = evaluate(cfg, state, dataset)
+            _, val_psnr = evaluate(cfg, state, dataset, garment=garment)
             logger({"step": i + 1, "val_psnr": val_psnr})
             history.append({"step": i + 1, "val_psnr": val_psnr})
             t0 = time.perf_counter()  # keep eval out of the throughput window

@@ -1,0 +1,142 @@
+"""Try-on preprocessing pipeline — SURVEY.md §3.3, BASELINE.json:5,10.
+
+One device round-trip: decode on host → single device_put → XLA ops
+(masks/agnostic → pose raster → TPS cloth warp) → the conditioning stack
+that feeds GarmentEncoder/ConditionedNeRF. Also the `preprocess` CLI body.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fashion_nerf.tryon.pose import rasterize_keypoints
+from fashion_nerf.tryon.segmentation import (make_agnostic, parse_to_masks,
+                                             resize_image)
+from fashion_nerf.tryon.tps import fit_tps, grid_sample, tps_grid
+
+
+def garment_control_points(cloth_mask, k_side: int = 5):
+    """Control points on the cloth-mask bounding box (K = 2·k_side, static
+    shape): evenly spaced down the left and right edges. Classic GMM uses
+    learned correspondences; with no trained matcher the box-to-torso map is
+    the standard procedural stand-in."""
+    ys = jnp.any(cloth_mask > 0.5, axis=1)
+    xs = jnp.any(cloth_mask > 0.5, axis=0)
+    H, W = cloth_mask.shape
+
+    def bounds(v, n):
+        idx = jnp.arange(n, dtype=jnp.float32)
+        lo = jnp.min(jnp.where(v, idx, n * 1.0))
+        hi = jnp.max(jnp.where(v, idx, -1.0))
+        return lo, jnp.maximum(hi, lo + 1.0)
+
+    y0, y1 = bounds(ys, H)
+    x0, x1 = bounds(xs, W)
+    t = jnp.linspace(0.0, 1.0, k_side)
+    ys_pts = y0 + t * (y1 - y0)
+    left = jnp.stack([jnp.full((k_side,), x0), ys_pts], -1)
+    right = jnp.stack([jnp.full((k_side,), x1), ys_pts], -1)
+    pts = jnp.concatenate([left, right], 0)              # (K, 2) pixels
+    # → [-1, 1] normalized (x, y)
+    return pts / jnp.array([(W - 1) / 2.0, (H - 1) / 2.0]) - 1.0
+
+
+def torso_targets(keypoints, H: int, W: int, k_side: int = 5):
+    """Target control points from pose: interpolate shoulder→hip down each
+    body side (OpenPose ids: 2/5 shoulders, 8/11 hips)."""
+    kp = jnp.asarray(keypoints, jnp.float32)
+
+    def side(sh, hip, fallback_x):
+        ok = (kp[sh, 2] > 0) & (kp[hip, 2] > 0)
+        a = jnp.where(ok, kp[sh, :2], jnp.array([fallback_x, H * 0.3]))
+        b = jnp.where(ok, kp[hip, :2], jnp.array([fallback_x, H * 0.7]))
+        t = jnp.linspace(0.0, 1.0, k_side)[:, None]
+        return a + t * (b - a)                           # (k_side, 2)
+
+    right = side(2, 8, W * 0.35)
+    left = side(5, 11, W * 0.65)
+    pts = jnp.concatenate([right, left], 0)              # (K, 2) pixels
+    return pts / jnp.array([(W - 1) / 2.0, (H - 1) / 2.0]) - 1.0
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W"))
+def _preprocess_device(image, cloth, cloth_mask, parse, keypoints,
+                       H: int, W: int):
+    """The single-dispatch XLA preprocessing graph."""
+    image = resize_image(image, H, W)
+    cloth = resize_image(cloth, H, W)
+    cloth_mask = resize_image(cloth_mask[..., None], H, W)[..., 0]
+    parse_f = resize_image(parse.astype(jnp.float32)[..., None], H, W,
+                           method="nearest")[..., 0].astype(jnp.int32)
+
+    agnostic, masks = make_agnostic(image, parse_f)
+    heat = rasterize_keypoints(keypoints, H, W, sigma=max(2.0, H / 32))
+    pose_map = jnp.max(heat, axis=-1, keepdims=True)     # (H, W, 1)
+
+    src = garment_control_points(cloth_mask)
+    dst = torso_targets(keypoints, H, W)
+    # backward map: output(person frame) coords → cloth coords
+    tps = fit_tps(dst, src)
+    grid = tps_grid(tps, H, W)
+    warped_cloth = grid_sample(cloth, grid, padding_value=1.0)
+    warped_mask = grid_sample(cloth_mask[..., None], grid)[..., 0]
+
+    cond = jnp.concatenate([
+        warped_cloth,                                    # 3
+        warped_mask[..., None],                          # 1
+        masks["garment"][..., None],                     # 1
+        masks["body"][..., None],                        # 1
+        pose_map,                                        # 1
+    ], axis=-1)                                          # (H, W, 7)
+    return {
+        "agnostic": agnostic, "warped_cloth": warped_cloth,
+        "warped_mask": warped_mask, "pose_heat": heat, "cond": cond,
+        "garment_mask": masks["garment"],
+    }
+
+
+def build_conditioning(pair: dict, H: int, W: int):
+    """pair (host numpy) → (H, W, 7) conditioning stack on device."""
+    out = _preprocess_device(
+        jnp.asarray(pair["image"]), jnp.asarray(pair["cloth"]),
+        jnp.asarray(pair["cloth_mask"]),
+        jnp.asarray(pair["parse"]), jnp.asarray(pair["keypoints"]),
+        H=H, W=W)
+    return out["cond"]
+
+
+def preprocess_cli(cfg, args) -> int:
+    """`fashion-nerf preprocess` body: run the pipeline, save PNG outputs."""
+    from fashion_nerf.data.viton import load_viton_pair, synth_viton_pair
+
+    root = cfg.data.root
+    if root and os.path.isdir(os.path.join(root, "image")):
+        ids = sorted(os.path.splitext(f)[0]
+                     for f in os.listdir(os.path.join(root, "image")))
+        pairs = [(i, load_viton_pair(root, i)) for i in ids]
+    else:
+        pairs = [("synthetic", synth_viton_pair())]
+
+    out_dir = os.path.join(cfg.out_dir, cfg.name, "preprocess")
+    os.makedirs(out_dir, exist_ok=True)
+    import imageio.v2 as imageio
+    for pid, pair in pairs:
+        H, W = pair["image"].shape[:2]
+        out = _preprocess_device(
+            jnp.asarray(pair["image"]), jnp.asarray(pair["cloth"]),
+            jnp.asarray(pair["cloth_mask"]), jnp.asarray(pair["parse"]),
+            jnp.asarray(pair["keypoints"]), H=H, W=W)
+        for name in ("agnostic", "warped_cloth"):
+            img = np.clip(np.asarray(out[name]), 0, 1)
+            imageio.imwrite(os.path.join(out_dir, f"{pid}_{name}.png"),
+                            (img * 255).astype(np.uint8))
+        np.save(os.path.join(out_dir, f"{pid}_cond.npy"),
+                np.asarray(out["cond"], np.float32))
+    print(json.dumps({"pairs": len(pairs), "out": out_dir}))
+    return 0

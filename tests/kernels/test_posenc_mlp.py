@@ -20,25 +20,52 @@ def _mk(overrides, interpret):
                        f"kernels.interpret={'true' if interpret else 'false'}"]
                       + overrides)
     params = init_field(jax.random.PRNGKey(0), cfg.model)
-    _, xla_field = make_field(cfg.model)
+    # f32 truth: the fused kernel and the TPU bf16 XLA field are BOTH bf16
+    # approximations with different rounding points — comparing them to each
+    # other compounds the error; each must sit in a bf16 envelope of f32
+    _, f32_field = make_field(
+        load_config("blender_lego",
+                    overrides + ["model.compute_dtype=float32"]).model)
     fused = make_fused_field(cfg)
-    return cfg, params, xla_field, fused
+    return cfg, params, f32_field, fused
 
 
-def _compare(overrides, interpret, R=32, S=16, tol=3e-2):
-    cfg, params, xla_field, fused = _mk(overrides, interpret)
+def _compare(overrides, interpret, R=32, S=16, tol=5e-2):
+    cfg, params, f32_field, fused = _mk(overrides, interpret)
     key = jax.random.PRNGKey(1)
     pts = jax.random.uniform(key, (R, S, 3), minval=-2, maxval=2)
     dirs = jax.random.normal(jax.random.PRNGKey(2), (R, 3))
-    rgb_x, sig_x = xla_field(params, pts, dirs, None)
+    # the truth must be true f32: on TPU, default matmul precision rounds
+    # "f32" matmuls through bf16 passes
+    with jax.default_matmul_precision("highest"):
+        rgb_x, sig_x = jax.jit(
+            lambda p, x, d: f32_field(p, x, d, None))(params, pts, dirs)
     rgb_p, sig_p = fused(params, pts, dirs, None)
     assert rgb_p.shape == rgb_x.shape and sig_p.shape == sig_x.shape
-    # bf16 matmuls: tolerance is relative to activation scale, not 1e-5
+
+    # Criterion: the kernel's deviation from f32 truth must be comparable to
+    # the bf16 XLA field's own deviation (both are bf16 forwards; an 8×256
+    # trunk legitimately accumulates ~0.1 absolute on raw σ). A fixed small
+    # atol would reject correct bf16 numerics.
+    from fashion_nerf.models.nerf_mlp import make_field as _mf
+    _, bf16_field = _mf(cfg.model)
+    rgb_b, sig_b = jax.jit(
+        lambda p, x, d: bf16_field(p, x, d, None))(params, pts, dirs)
+
+    def rms(a, b):
+        return float(jnp.sqrt(jnp.mean((a - b) ** 2)))
+
+    rms_kernel_rgb = rms(rgb_p, rgb_x)
+    rms_xla_rgb = rms(rgb_b, rgb_x)
+    rms_kernel_sig = rms(sig_p, sig_x)
+    rms_xla_sig = rms(sig_b, sig_x)
+    assert rms_kernel_rgb <= 2.0 * rms_xla_rgb + 1e-3, \
+        (rms_kernel_rgb, rms_xla_rgb)
+    assert rms_kernel_sig <= 2.0 * rms_xla_sig + 1e-3, \
+        (rms_kernel_sig, rms_xla_sig)
+    # and absolute sanity: post-sigmoid rgb within a bf16-ish envelope
     np.testing.assert_allclose(np.asarray(rgb_p), np.asarray(rgb_x),
-                               atol=tol)
-    sx = np.asarray(sig_x)
-    np.testing.assert_allclose(np.asarray(sig_p), sx,
-                               atol=tol * max(1.0, np.abs(sx).max()))
+                               atol=max(tol, 4.0 * rms_xla_rgb))
 
 
 def test_fused_matches_xla_interpret():
@@ -61,7 +88,10 @@ def test_fused_matches_xla_tpu():
 
 @pytest.mark.tpu
 def test_fused_gradients_flow_tpu():
-    cfg, params, xla_field, fused = _mk([], interpret=False)
+    cfg, params, _f32, fused = _mk([], interpret=False)
+    # grads must match the SAME-dtype XLA field exactly (the custom VJP
+    # recomputes through it), not the f32 truth
+    _, xla_field = make_field(cfg.model)
     pts = jax.random.uniform(jax.random.PRNGKey(1), (16, 8, 3))
     dirs = jax.random.normal(jax.random.PRNGKey(2), (16, 3))
 
