@@ -72,6 +72,35 @@ def run_bench(cfg: Config, H: int = 800, W: int = 800, warmup: int = 1,
     }
 
 
+def bench_train(cfg: Config, steps: int = 50, warmup: int = 10) -> dict:
+    """Steady-state TRAINING throughput: rays/sec including backward +
+    Adam, device-resident ray gather, one jit step (SURVEY.md §2.3 bench)."""
+    from fashion_nerf.data.pipeline import RayDataset
+    from fashion_nerf.data.synthetic import make_synthetic_scene
+    from fashion_nerf.train.loop import make_train_step
+
+    scene = make_synthetic_scene(n_views=8, H=64, W=64, n_samples=32)
+    ds = RayDataset(scene["images"], scene["poses"], scene["focal"])
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = make_train_step(cfg, ds)
+    all_rays = ds.batch_arrays()
+    for _ in range(warmup):
+        state, m = step(state, all_rays)
+    float(m["loss"])                              # sync (see run_bench)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, m = step(state, all_rays)
+    float(m["loss"])
+    dt = (time.perf_counter() - t0) / steps
+    return {
+        "metric": "train rays/sec/chip (fwd+bwd+adam)",
+        "value": round(cfg.train.batch_rays / dt, 1),
+        "unit": "rays/sec",
+        "step_ms": round(dt * 1e3, 3),
+        "config": cfg.name,
+    }
+
+
 def main():
     cfg = load_config("blender_lego")
     result = run_bench(cfg)

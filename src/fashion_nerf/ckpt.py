@@ -25,8 +25,15 @@ def _mgr(directory: str, keep: int = 3) -> ocp.CheckpointManager:
     if directory not in _MANAGERS:
         _MANAGERS[directory] = ocp.CheckpointManager(
             directory,
-            options=ocp.CheckpointManagerOptions(max_to_keep=keep,
-                                                 create=True),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep,
+                create=True,
+                # keep-last-N PLUS retain the best-val-PSNR checkpoint
+                # (SURVEY.md §5.4); saves without metrics are unaffected
+                best_fn=lambda m: m.get("val_psnr", -1.0),
+                best_mode="max",
+                keep_checkpoints_without_metrics=True,
+            ),
         )
     return _MANAGERS[directory]
 
@@ -37,11 +44,14 @@ def finalize():
         mgr.wait_until_finished()
 
 
-def save(directory: str, state, keep: int = 3, wait: bool = False):
-    """Save TrainState at its current step."""
+def save(directory: str, state, keep: int = 3, wait: bool = False,
+         metrics: dict | None = None):
+    """Save TrainState at its current step (async off the step path).
+
+    metrics (e.g. {"val_psnr": 31.2}) drive best-checkpoint retention."""
     mgr = _mgr(directory, keep)
     step = int(jax.device_get(state.step))
-    mgr.save(step, args=ocp.args.StandardSave(state))
+    mgr.save(step, args=ocp.args.StandardSave(state), metrics=metrics)
     if wait:
         mgr.wait_until_finished()
     return step

@@ -131,12 +131,49 @@ def fused_render_rays(rgb, sigma, t_vals, rays_d, white_bkgd: bool = False,
     """Drop-in twin of core.volrend.volume_render (same signature/returns).
 
     σ-noise is applied in XLA before the kernel (cheap elementwise); the
-    scan + reductions run fused in VMEM.
+    scan + reductions run fused in VMEM. Differentiable: custom VJP
+    recomputes through core.volrend (same math, autodiff-friendly), so the
+    kernel is usable inside the jitted train step.
     """
     R, S = sigma.shape
     if raw_noise_std > 0.0:
         assert key is not None
         sigma = sigma + jax.random.normal(key, sigma.shape) * raw_noise_std
+    return _fused_render_core(rgb, sigma, t_vals, rays_d, white_bkgd,
+                              sigma_activation, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _fused_render_core(rgb, sigma, t_vals, rays_d, white_bkgd,
+                       sigma_activation, interpret):
+    return _fused_render_fwd_impl(rgb, sigma, t_vals, rays_d, white_bkgd,
+                                  sigma_activation, interpret)
+
+
+def _fused_render_fwd(rgb, sigma, t_vals, rays_d, white_bkgd,
+                      sigma_activation, interpret):
+    out = _fused_render_fwd_impl(rgb, sigma, t_vals, rays_d, white_bkgd,
+                                 sigma_activation, interpret)
+    return out, (rgb, sigma, t_vals, rays_d)
+
+
+def _fused_render_bwd(white_bkgd, sigma_activation, interpret, res, g):
+    from fashion_nerf.core.volrend import volume_render
+    rgb, sigma, t_vals, rays_d = res
+    _, vjp = jax.vjp(
+        lambda r, s, t, d: volume_render(
+            r, s, t, d, white_bkgd=white_bkgd,
+            sigma_activation=sigma_activation),
+        rgb, sigma, t_vals, rays_d)
+    return vjp(g)
+
+
+_fused_render_core.defvjp(_fused_render_fwd, _fused_render_bwd)
+
+
+def _fused_render_fwd_impl(rgb, sigma, t_vals, rays_d, white_bkgd,
+                           sigma_activation, interpret):
+    R, S = sigma.shape
 
     rgb_t = jnp.transpose(rgb, (0, 2, 1))            # (R, 3, S)
     dnorm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)

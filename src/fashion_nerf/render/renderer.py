@@ -48,15 +48,21 @@ def render_rays(field_coarse: Callable, field_fine: Optional[Callable],
     else:
         vr = volume_render
 
-    t_c = stratified_sample(k_strat, rcfg.near, rcfg.far, R, scfg.n_coarse,
-                            perturb=train and scfg.perturb,
-                            lindisp=scfg.lindisp)
+    # jax.profiler.annotate_* names make each stage attributable in traces
+    # (SURVEY.md §5.1); they are no-ops outside a profiling session
+    with jax.named_scope("stratified_sample"):
+        t_c = stratified_sample(k_strat, rcfg.near, rcfg.far, R,
+                                scfg.n_coarse,
+                                perturb=train and scfg.perturb,
+                                lindisp=scfg.lindisp)
     pts_c = rays_o[:, None, :] + rays_d[:, None, :] * t_c[..., None]
-    rgb_c, sigma_c = field_coarse(pts_c, rays_d, cond)
+    with jax.named_scope("coarse_field"):
+        rgb_c, sigma_c = field_coarse(pts_c, rays_d, cond)
     noise = scfg.raw_noise_std if train else 0.0
-    out_c = vr(rgb_c, sigma_c, t_c, rays_d, white_bkgd=rcfg.white_bkgd,
-               raw_noise_std=noise, key=k_noise_c,
-               sigma_activation=cfg.model.sigma_activation)
+    with jax.named_scope("coarse_volrend"):
+        out_c = vr(rgb_c, sigma_c, t_c, rays_d, white_bkgd=rcfg.white_bkgd,
+                   raw_noise_std=noise, key=k_noise_c,
+                   sigma_activation=cfg.model.sigma_activation)
 
     if scfg.n_fine <= 0 or field_fine is None:
         return {"coarse": out_c, "fine": None}
@@ -64,21 +70,25 @@ def render_rays(field_coarse: Callable, field_fine: Optional[Callable],
     # hierarchical: PDF over coarse intervals, union-sort with coarse samples
     t_mid = 0.5 * (t_c[:, 1:] + t_c[:, :-1])
     w_mid = jax.lax.stop_gradient(out_c["weights"][:, 1:-1])
-    if cfg.kernels.use_pallas and cfg.kernels.fused_resample:
-        from fashion_nerf.kernels.resample_pallas import resample_cdf
-        t_f = resample_cdf(k_pdf, t_mid, w_mid, scfg.n_fine,
-                           det=not (train and scfg.perturb),
-                           interpret=cfg.kernels.interpret)
-    else:
-        t_f = sample_pdf(k_pdf, t_mid, w_mid, scfg.n_fine,
-                         det=not (train and scfg.perturb))
-    t_all = jnp.sort(jnp.concatenate([t_c, t_f], axis=-1), axis=-1)
+    with jax.named_scope("resample_cdf"):
+        if cfg.kernels.use_pallas and cfg.kernels.fused_resample:
+            from fashion_nerf.kernels.resample_pallas import resample_cdf
+            t_f = resample_cdf(k_pdf, t_mid, w_mid, scfg.n_fine,
+                               det=not (train and scfg.perturb),
+                               interpret=cfg.kernels.interpret)
+        else:
+            t_f = sample_pdf(k_pdf, t_mid, w_mid, scfg.n_fine,
+                             det=not (train and scfg.perturb))
+        t_all = jnp.sort(jnp.concatenate([t_c, t_f], axis=-1), axis=-1)
 
     pts_f = rays_o[:, None, :] + rays_d[:, None, :] * t_all[..., None]
-    rgb_f, sigma_f = field_fine(pts_f, rays_d, cond)
-    out_f = vr(rgb_f, sigma_f, t_all, rays_d, white_bkgd=rcfg.white_bkgd,
-               raw_noise_std=noise, key=k_noise_f,
-               sigma_activation=cfg.model.sigma_activation)
+    with jax.named_scope("fine_field"):
+        rgb_f, sigma_f = field_fine(pts_f, rays_d, cond)
+    with jax.named_scope("fine_volrend"):
+        out_f = vr(rgb_f, sigma_f, t_all, rays_d,
+                   white_bkgd=rcfg.white_bkgd,
+                   raw_noise_std=noise, key=k_noise_f,
+                   sigma_activation=cfg.model.sigma_activation)
     return {"coarse": out_c, "fine": out_f}
 
 
