@@ -4,18 +4,25 @@ BASELINE.json:5 — "sinusoidal positional encoding, and coarse/fine MLP
 evaluation fuse into Pallas kernels that keep per-ray sample batches
 resident". One pallas_call evaluates the whole field for a tile of samples.
 
-Key layout decision: positional encoding is NOT materialized as a 63-wide
-concat (cross-lane concats of 3-lane pieces are murder on the VPU). Instead:
+Layout decisions (each measured on v5e):
 
-    P  = x @ F          (MXU, F[:,3k:3k+3] = 2^k·I₃  →  (T, 3L) phases, f32)
-    Sn = sin(P), Cs = cos(P)                          (one VPU op each)
-    h₀ = x@Wx + Sn@Ws + Cs@Wc + b                     (three bf16 matmuls)
+1. γ(x) is never materialized as a 63-wide concat (cross-lane concats of
+   3-lane pieces are murder on the VPU). Phases are pure VPU:
+       P    = pltpu.repeat(x, 2L) · freq_row + [0|π/2]   (f32)
+       SnCs = sin(P)                                      (ONE transcendental
+                                                           pass; cos folded
+                                                           via the π/2 half)
+       h₀   = x@Wx + SnCs@Wsc + b                         (bf16 MXU)
+   with Wx/Wsc row-gathers of the trained (63,256) kernel matching
+   core.posenc's layout. Skip layers reuse the same split — zero concats.
+2. The view branch's direction term is PER-RAY: γ(d)@W_dir is hoisted to an
+   XLA precompute and enters the kernel as an expanded bf16 (T,128) input
+   (in-kernel per-sample dir work was 64×-redundant, ~20% of kernel time).
+3. Head matmuls are padded to 128 lanes (N=1/3 Mosaic matmuls are slow).
+4. Phases stay f32 — bf16 positions lose ~2 rad at the top band (2^{L-1}).
 
-where Wx/Ws/Wc are row-gathers of the trained (63,256) kernel matching
-core.posenc's [x, sin_k, cos_k]-interleaved layout. The skip layer and the
-view-dir branch use the same split — the kernel contains zero concatenates.
-Activations stay in VMEM across all 8 trunk layers (the XLA path writes
-~126 GB of HBM activations per 800×800 fine pass; here that traffic is zero).
+Activations stay in VMEM across all 8 trunk layers (the XLA path streams
+~GBs of HBM activations per 800×800 fine pass; here that traffic is zero).
 
 Training gradients: custom VJP recomputes through the XLA field (same math,
 autodiff-friendly), so one field interface serves train and render.
@@ -34,30 +41,42 @@ from jax.experimental.pallas import tpu as pltpu
 from fashion_nerf.config import Config, ModelConfig
 from fashion_nerf.core.posenc import posenc
 
-_TILE = 2048  # rows/program: f32 (T,256) accumulators dominate the 16MB VMEM
+_TILE = 1536  # rows/program: f32 (T,256) accumulators dominate the 16MB
+              # VMEM budget (2048 rows hit 17.4M with the repeat-phase path)
 
 
 # --------------------------------------------------------------------------
 # packing: flax param tree → flat arrays + a static consumption plan
 # --------------------------------------------------------------------------
 
-def _freq_matrix(L: int, d: int = 3) -> np.ndarray:
-    """F (d, d·L) with F[:, d·k : d·(k+1)] = 2^k · I_d."""
-    F = np.zeros((d, d * L), np.float32)
-    for k in range(L):
-        F[:, d * k:d * (k + 1)] = (2.0 ** k) * np.eye(d, dtype=np.float32)
-    return F
+def _freq_row(L: int, d: int = 3) -> np.ndarray:
+    """(1, 2·d·L) band multipliers for the block-repeated position layout
+    pltpu.repeat(x, 2L) = [x(d)·2L blocks]: block b carries 2^(b mod L);
+    cos x = sin(x + π/2), so blocks b ≥ L get the offset instead of a second
+    transcendental pass. Phases become pure VPU ops — an f32 HIGHEST matmul
+    here carried a fixed Mosaic slow-path cost per call."""
+    row = np.zeros((1, 2 * d * L), np.float32)
+    for b in range(2 * L):
+        row[:, d * b:d * (b + 1)] = 2.0 ** (b % L)
+    return row
+
+
+def _phase_offset(L: int, d: int = 3) -> np.ndarray:
+    """(1, 2·d·L): 0 on the sin half, π/2 on the cos half."""
+    off = np.zeros((1, 2 * d * L), np.float32)
+    off[:, d * L:] = np.pi / 2.0
+    return off
 
 
 def _split_posenc_kernel(k, L: int, d: int = 3):
-    """Rows of a ((1+2L)d, n) kernel → (Wx (d,n), Ws (dL,n), Wc (dL,n))
-    matching core.posenc's [x, sin_k(d), cos_k(d)]-per-frequency layout."""
+    """Rows of a ((1+2L)d, n) kernel → (Wx (d,n), Wsc (2dL,n)) with Wsc
+    stacked [sin rows; cos rows] to match the duplicated phase layout."""
     Wx = k[:d]
     Ws = jnp.concatenate([k[d + 2 * d * i: 2 * d + 2 * d * i]
                           for i in range(L)], axis=0)
     Wc = jnp.concatenate([k[2 * d + 2 * d * i: 3 * d + 2 * d * i]
                           for i in range(L)], axis=0)
-    return Wx, Ws, Wc
+    return Wx, jnp.concatenate([Ws, Wc], axis=0)
 
 
 def pack_params(params, mcfg: ModelConfig):
@@ -73,21 +92,20 @@ def pack_params(params, mcfg: ModelConfig):
     arrs, plan = [], []
 
     def put_b(b):
-        arrs.append(b.astype(jnp.float32).reshape(1, -1))
+        arrs.append(jnp.asarray(b, jnp.float32).reshape(1, -1))
 
     for i in range(mcfg.net_depth):
         k = p[f"trunk_{i}"]["kernel"]
         b = p[f"trunk_{i}"]["bias"]
         if i == 0:
-            Wx, Ws, Wc = _split_posenc_kernel(k, L)
-            arrs += [Wx.astype(bf), Ws.astype(bf), Wc.astype(bf)]
+            Wx, Wsc = _split_posenc_kernel(k, L)
+            arrs += [Wx.astype(bf), Wsc.astype(bf)]
             put_b(b)
             plan.append("first")
         elif k.shape[0] > mcfg.net_width:          # post-skip: h-part + γ(x)
             Wh = k[cx:]
-            Wx, Ws, Wc = _split_posenc_kernel(k[:cx], L)
-            arrs += [Wh.astype(bf), Wx.astype(bf), Ws.astype(bf),
-                     Wc.astype(bf)]
+            Wx, Wsc = _split_posenc_kernel(k[:cx], L)
+            arrs += [Wh.astype(bf), Wx.astype(bf), Wsc.astype(bf)]
             put_b(b)
             plan.append("skip")
         else:
@@ -95,28 +113,35 @@ def pack_params(params, mcfg: ModelConfig):
             put_b(b)
             plan.append("plain")
 
+    def pad_cols(a, n=128):
+        # tiny-N matmuls (N=1/3/4) take slow Mosaic paths; pad to a full
+        # 128-lane tile and slice the result in-kernel
+        return jnp.pad(a, ((0, 0), (0, n - a.shape[1])))
+
+    dir_kernel = None
     if mcfg.use_viewdirs:
-        Ld = mcfg.posenc_dir
-        arrs.append(p["sigma_head"]["kernel"].astype(bf))
-        put_b(p["sigma_head"]["bias"])
+        arrs.append(pad_cols(p["sigma_head"]["kernel"].astype(bf)))
+        put_b(pad_cols(p["sigma_head"]["bias"].reshape(1, -1)))
         arrs.append(p["feature"]["kernel"].astype(bf))
         put_b(p["feature"]["bias"])
         kv = p["view_0"]["kernel"]
         W = mcfg.net_width
-        Wf = kv[:W]
-        Wdx, Wds, Wdc = _split_posenc_kernel(kv[W:], Ld)
-        arrs += [Wf.astype(bf), Wdx.astype(bf), Wds.astype(bf),
-                 Wdc.astype(bf)]
+        # dir rows of view_0 act on PER-RAY data — hoisted to an XLA
+        # precompute (γ(d) @ kv[W:] once per ray); the kernel adds the
+        # expanded per-sample copy. In-kernel per-sample dir posenc cost
+        # 9 ms per 2M rows (measured) for 64x-redundant work.
+        dir_kernel = kv[W:]
+        arrs.append(kv[:W].astype(bf))               # feat part only
         put_b(p["view_0"]["bias"])
-        arrs.append(p["rgb_head"]["kernel"].astype(bf))
-        put_b(p["rgb_head"]["bias"])
+        arrs.append(pad_cols(p["rgb_head"]["kernel"].astype(bf)))
+        put_b(pad_cols(p["rgb_head"]["bias"].reshape(1, -1)))
         plan.append("heads_vd")
     else:
-        arrs.append(p["out_head"]["kernel"].astype(bf))
-        put_b(p["out_head"]["bias"])
+        arrs.append(pad_cols(p["out_head"]["kernel"].astype(bf)))
+        put_b(pad_cols(p["out_head"]["bias"].reshape(1, -1)))
         plan.append("heads_plain")
 
-    return arrs, tuple(plan)
+    return arrs, tuple(plan), dir_kernel
 
 
 # --------------------------------------------------------------------------
@@ -140,7 +165,7 @@ _INTERLEAVE = 2  # independent row-halves per tile so Mosaic can overlap the
                  # (a single dependent chain leaves the MXU idle every layer)
 
 
-def _field_kernel(plan, L, Ld, pts_ref, dirs_ref, fmat_ref, fdmat_ref,
+def _field_kernel(plan, L, pts_ref, dirpart_ref, fmat_ref, off_ref,
                   *refs):
     *w_refs, rgb_ref, sigma_ref = refs
     bf = jnp.bfloat16
@@ -150,23 +175,24 @@ def _field_kernel(plan, L, Ld, pts_ref, dirs_ref, fmat_ref, fdmat_ref,
 
     def run_half(x, d):
         it = iter(ws)
-        P = _mm_f32(x, fmat_ref[:])      # f32 phases (bf16 sin(2^9·x) would
-        Sn = jnp.sin(P).astype(bf)       # be garbage)
-        Cs = jnp.cos(P).astype(bf)
+        # phases in f32 (bf16 sin(2^9·x) would be garbage); cos folded into
+        # the same sin pass via the +π/2 offset half; block-repeat × freq
+        # row keeps this pure-VPU
+        P = pltpu.repeat(x, 2 * L, axis=1) * fmat_ref[:] + off_ref[:]
+        SnCs = jnp.sin(P).astype(bf)     # (T, 6L): [sin | cos]
         x_bf = x.astype(bf)
 
         h = None
         for tag in plan[:-1]:
             if tag == "first":
-                Wx, Ws, Wc = next(it), next(it), next(it)
+                Wx, Wsc = next(it), next(it)
                 b = next(it)
-                acc = _mm(x_bf, Wx) + _mm(Sn, Ws) + _mm(Cs, Wc)
+                acc = _mm(x_bf, Wx) + _mm(SnCs, Wsc)
             elif tag == "skip":
                 Wh = next(it)
-                Wx, Ws, Wc = next(it), next(it), next(it)
+                Wx, Wsc = next(it), next(it)
                 b = next(it)
-                acc = (_mm(h, Wh) + _mm(x_bf, Wx) + _mm(Sn, Ws)
-                       + _mm(Cs, Wc))
+                acc = _mm(h, Wh) + _mm(x_bf, Wx) + _mm(SnCs, Wsc)
             else:
                 Wh = next(it)
                 b = next(it)
@@ -176,28 +202,26 @@ def _field_kernel(plan, L, Ld, pts_ref, dirs_ref, fmat_ref, fdmat_ref,
         if plan[-1] == "heads_vd":
             w_sig, b_sig = next(it), next(it)
             w_feat, b_feat = next(it), next(it)
-            Wf, Wdx, Wds, Wdc = (next(it), next(it), next(it), next(it))
+            Wf = next(it)
             b_v = next(it)
             w_rgb, b_rgb = next(it), next(it)
 
-            sigma = _mm(h, w_sig) + b_sig                    # (T, 1)
+            sigma = (_mm(h, w_sig) + b_sig)[:, :1]           # padded → (T,1)
             feat = (_mm(h, w_feat) + b_feat).astype(bf)
-            Pd = _mm_f32(d, fdmat_ref[:])                    # (T, 3Ld)
-            h2 = (_mm(feat, Wf) + _mm(d.astype(bf), Wdx)
-                  + _mm(jnp.sin(Pd).astype(bf), Wds)
-                  + _mm(jnp.cos(Pd).astype(bf), Wdc) + b_v)
+            # d = precomputed per-ray γ(d)@W_dir, expanded per sample
+            h2 = _mm(feat, Wf) + d.astype(jnp.float32) + b_v
             h2 = jnp.maximum(h2, 0.0).astype(bf)
-            rgb = jax.nn.sigmoid(_mm(h2, w_rgb) + b_rgb)
+            rgb = jax.nn.sigmoid((_mm(h2, w_rgb) + b_rgb)[:, :3])
         else:
             w_o, b_o = next(it), next(it)
-            raw = _mm(h, w_o) + b_o                          # (T, 4)
+            raw = _mm(h, w_o) + b_o                          # padded (T,128)
             rgb = jax.nn.sigmoid(raw[:, :3])
             sigma = raw[:, 3:4]
         return rgb, sigma
 
     for j in range(_INTERLEAVE):
         sl = pl.ds(j * half, half)
-        rgb, sigma = run_half(pts_ref[sl, :], dirs_ref[sl, :])
+        rgb, sigma = run_half(pts_ref[sl, :], dirpart_ref[sl, :])
         rgb_ref[sl, :] = rgb
         sigma_ref[sl, :] = sigma
 
@@ -207,18 +231,18 @@ def _field_kernel(plan, L, Ld, pts_ref, dirs_ref, fmat_ref, fdmat_ref,
 # --------------------------------------------------------------------------
 
 @functools.partial(jax.jit,
-                   static_argnames=("plan", "L", "Ld", "interpret"))
-def _fused_eval(weight_arrs, pts_flat, dirs_flat, plan, L, Ld,
+                   static_argnames=("plan", "L", "interpret"))
+def _fused_eval(weight_arrs, pts_flat, dirpart_flat, plan, L,
                 interpret=False):
     n = pts_flat.shape[0]
     tile = min(_TILE, n)
     assert n % tile == 0, (n, tile)
     grid = (n // tile,)
 
-    fmat = jnp.asarray(_freq_matrix(max(L, 1)))
-    fdmat = jnp.asarray(_freq_matrix(max(Ld, 1)))
+    fmat = jnp.asarray(_freq_row(max(L, 1)))
+    foff = jnp.asarray(_phase_offset(max(L, 1)))
 
-    kernel = functools.partial(_field_kernel, plan, L, Ld)
+    kernel = functools.partial(_field_kernel, plan, L)
 
     def _const2d(a):
         return pl.BlockSpec(a.shape, lambda i: (0, 0),
@@ -226,9 +250,10 @@ def _fused_eval(weight_arrs, pts_flat, dirs_flat, plan, L, Ld,
 
     in_specs = [
         pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, dirpart_flat.shape[1]), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
         _const2d(fmat),
-        _const2d(fdmat),
+        _const2d(foff),
     ] + [_const2d(a) for a in weight_arrs]
 
     cx = 3 * (2 * L + 1)
@@ -250,10 +275,10 @@ def _fused_eval(weight_arrs, pts_flat, dirs_flat, plan, L, Ld,
         cost_estimate=pl.CostEstimate(
             flops=int(n * flops_row),
             bytes_accessed=int(n * (3 + 3 + 4) * 4),
-            transcendentals=int(n * (6 * L + 6 * Ld + 3)),
+            transcendentals=int(n * (6 * L + 3)),
         ),
         interpret=interpret,
-    )(pts_flat, dirs_flat, fmat, fdmat, *weight_arrs)
+    )(pts_flat, dirpart_flat, fmat, foff, *weight_arrs)
     return rgb, sigma
 
 
@@ -279,17 +304,26 @@ def make_fused_field(cfg: Config):
         tile = min(_TILE, n)
         pad = (-n) % tile
         pts_flat = pts.reshape(n, 3)
-        d_unit = viewdirs / jnp.linalg.norm(viewdirs, axis=-1,
-                                            keepdims=True)
-        dirs_flat = jnp.broadcast_to(d_unit[:, None, :],
-                                     (R, S, 3)).reshape(n, 3)
+        arrs, plan, dir_kernel = pack_params(params, mcfg)
+        if mcfg.use_viewdirs:
+            # per-RAY view-branch contribution, computed once in XLA and
+            # expanded per sample (in-kernel per-sample dir work is 64×
+            # redundant and measured at ~20% of kernel time)
+            d_unit = viewdirs / jnp.linalg.norm(viewdirs, axis=-1,
+                                                keepdims=True)
+            d_enc = posenc(d_unit, mcfg.posenc_dir)          # (R, Cd)
+            dirpart = jnp.dot(d_enc, dir_kernel,
+                              preferred_element_type=jnp.float32)
+            dirpart_flat = jnp.broadcast_to(
+                dirpart.astype(jnp.bfloat16)[:, None, :],
+                (R, S, dirpart.shape[-1])).reshape(n, -1)
+        else:
+            dirpart_flat = jnp.zeros((n, 128), jnp.bfloat16)
         if pad:
             pts_flat = jnp.pad(pts_flat, ((0, pad), (0, 0)))
-            dirs_flat = jnp.pad(dirs_flat, ((0, pad), (0, 0)))
-        arrs, plan = pack_params(params, mcfg)
-        rgb, sigma = _fused_eval(tuple(arrs), pts_flat, dirs_flat, plan,
-                                 mcfg.posenc_xyz, mcfg.posenc_dir,
-                                 interpret)
+            dirpart_flat = jnp.pad(dirpart_flat, ((0, pad), (0, 0)))
+        rgb, sigma = _fused_eval(tuple(arrs), pts_flat, dirpart_flat, plan,
+                                 mcfg.posenc_xyz, interpret)
         rgb = rgb[:n].reshape(R, S, 3)
         sigma = sigma[:n, 0].reshape(R, S)
         return rgb, sigma

@@ -1,0 +1,57 @@
+"""Ray pipeline tests: device-resident dataset geometry and the
+double-buffered host→device prefetch fallback (SURVEY.md §2.2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fashion_nerf.data.pipeline import RayDataset, prefetch_to_device, \
+    sample_batch
+from fashion_nerf.data.synthetic import make_synthetic_scene
+
+
+def test_ray_dataset_shapes_and_crop():
+    scene = make_synthetic_scene(n_views=3, H=16, W=16, n_samples=16)
+    ds = RayDataset(scene["images"], scene["poses"], scene["focal"],
+                    precrop_frac=0.5)
+    n = 3 * 16 * 16
+    assert ds.n_rays == n
+    assert ds.rays_o.shape == (n, 3) and ds.rgb.shape == (n, 3)
+    assert ds.frame_ids.shape == (n,)
+    assert int(ds.frame_ids[0]) == 0 and int(ds.frame_ids[-1]) == 2
+    # crop indices reference center pixels of each image
+    crop = np.asarray(ds.crop_idx)
+    assert len(crop) == 3 * 8 * 8
+    within = crop % (16 * 16)
+    ys, xs = within // 16, within % 16
+    assert ys.min() >= 4 and ys.max() < 12
+    assert xs.min() >= 4 and xs.max() < 12
+
+
+def test_ray_dataset_rays_match_single_pose():
+    from fashion_nerf.core.cameras import generate_rays
+    scene = make_synthetic_scene(n_views=2, H=8, W=8, n_samples=8)
+    ds = RayDataset(scene["images"], scene["poses"], scene["focal"])
+    o, d = generate_rays(8, 8, scene["focal"], scene["poses"][1])
+    np.testing.assert_allclose(np.asarray(ds.rays_o[64:128]),
+                               np.asarray(o.reshape(-1, 3)), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ds.rays_d[64:128]),
+                               np.asarray(d.reshape(-1, 3)), atol=1e-5)
+
+
+def test_sample_batch_device_gather():
+    scene = make_synthetic_scene(n_views=2, H=8, W=8, n_samples=8)
+    ds = RayDataset(scene["images"], scene["poses"], scene["focal"])
+    batch = sample_batch(ds.batch_arrays(), jax.random.PRNGKey(0), 32,
+                         ds.n_rays)
+    assert batch["rays_o"].shape == (32, 3)
+    assert batch["rgb"].shape == (32, 3)
+
+
+def test_prefetch_to_device():
+    batches = [{"x": np.full((4,), i, np.float32)} for i in range(5)]
+    out = list(prefetch_to_device(iter(batches), size=2))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        assert isinstance(b["x"], jax.Array)
+        np.testing.assert_allclose(np.asarray(b["x"]), i)
