@@ -76,6 +76,35 @@ def _render_view(H, W, focal, c2w, n_samples=128, near=2.0, far=6.0,
     return np.clip(img, 0, 1).astype(np.float32)
 
 
+def make_forward_scene(n_views: int = 8, H: int = 48, W: int = 64,
+                       seed: int = 0, n_samples: int = 128):
+    """Forward-facing variant (LLFF-style geometry): cameras near z≈4 with
+    small lateral offsets, all looking down -z — exercises the NDC path
+    hermetically (BASELINE.json:9)."""
+    rng = np.random.default_rng(seed)
+    focal = 1.2 * W
+    poses = []
+    for i in range(n_views):
+        c2w = np.eye(4, dtype=np.float32)[:3]
+        c2w[0, 3] = rng.uniform(-0.4, 0.4)
+        c2w[1, 3] = rng.uniform(-0.3, 0.3)
+        c2w[2, 3] = 4.0 + rng.uniform(-0.2, 0.2)
+        poses.append(c2w)
+    poses = np.stack(poses)
+    images = np.stack([_render_view(H, W, focal, p, n_samples,
+                                    near=2.0, far=6.0) for p in poses])
+    val_pose = np.eye(4, dtype=np.float32)[:3]
+    val_pose[2, 3] = 4.1
+    val_image = _render_view(H, W, focal, val_pose, n_samples,
+                             near=2.0, far=6.0)
+    return {
+        "images": images, "poses": poses, "focal": float(focal),
+        "val_image": val_image, "val_pose": val_pose,
+        "near": 0.0, "far": 1.0,     # NDC bounds
+        "H": H, "W": W,
+    }
+
+
 def make_synthetic_scene(n_views: int = 12, H: int = 64, W: int = 64,
                          seed: int = 0, n_samples: int = 128):
     """→ dict(images (N,H,W,3), poses (N,3,4), focal, near, far, plus a

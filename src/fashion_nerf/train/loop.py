@@ -263,7 +263,11 @@ def train(cfg: Config, dataset_dict: Optional[dict] = None,
             logger(entry)
         last_val_psnr = None
         if (i + 1) % cfg.train.eval_every == 0:
-            _, val_psnr = evaluate(cfg, state, dataset, garment=garment)
+            out, val_psnr = evaluate(cfg, state, dataset, garment=garment)
+            if hasattr(logger, "image"):
+                import numpy as _np
+                logger.image("val/render",
+                             _np.clip(_np.asarray(out["rgb"]), 0, 1), i + 1)
             logger({"step": i + 1, "val_psnr": val_psnr})
             history.append({"step": i + 1, "val_psnr": val_psnr})
             last_val_psnr = val_psnr
