@@ -104,16 +104,23 @@ def _rays_for_pose(H: int, W: int, focal, c2w, cfg: Config):
 
 def render_image(field_coarse, field_fine, H: int, W: int, focal, c2w,
                  cfg: Config, key=None, cond=None,
-                 use_pallas_render: bool = False):
+                 use_pallas_render: bool = False, mesh=None):
     """Render a full H×W image under ONE jit: rays are padded to a multiple
     of cfg.render.chunk and mapped with lax.map, bounding device memory while
-    keeping the host out of the loop."""
+    keeping the host out of the loop.
+
+    With a mesh, the chunk axis shards over "dp" (shard_map): each chip
+    renders its own chunk run — rays are embarrassingly parallel at render
+    time too (SURVEY.md §2.4; eval-image assembly is the all_gather row)."""
     if key is None:
         key = jax.random.PRNGKey(0)
     rays_o, rays_d, viewdirs = _rays_for_pose(H, W, focal, c2w, cfg)
     n = rays_o.shape[0]
     chunk = min(cfg.render.chunk, n)
     n_chunks = -(-n // chunk)
+    if mesh is not None:
+        ndev = mesh.shape["dp"]
+        n_chunks = -(-n_chunks // ndev) * ndev   # chunk rows divide over dp
     pad = n_chunks * chunk - n
     ro = jnp.pad(rays_o, ((0, pad), (0, 0))).reshape(n_chunks, chunk, 3)
     rd = jnp.pad(rays_d, ((0, pad), (0, 0))).reshape(n_chunks, chunk, 3)
@@ -138,7 +145,17 @@ def render_image(field_coarse, field_fine, H: int, W: int, focal, c2w,
                            cond=cond_chunk,
                            use_pallas_render=use_pallas_render)
 
-    out = jax.lax.map(render_chunk, (ro, rd, vd))
+    if mesh is None:
+        out = jax.lax.map(render_chunk, (ro, rd, vd))
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        def per_device(ro_l, rd_l, vd_l):
+            return jax.lax.map(render_chunk, (ro_l, rd_l, vd_l))
+
+        out = jax.shard_map(
+            per_device, mesh=mesh,
+            in_specs=P("dp"), out_specs=P("dp"))(ro, rd, vd)
     head = out["fine"] if out["fine"] is not None else out["coarse"]
 
     def unchunk(x):

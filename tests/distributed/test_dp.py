@@ -116,3 +116,27 @@ def test_psum_gradient_reduction_matches_hand_sum():
              for i in range(8)]
     hand = sum(np.asarray(p) for p in parts) / 8.0
     np.testing.assert_allclose(hand, np.asarray(g_sharded), rtol=1e-5)
+
+
+def test_distributed_render_matches_single(problem):
+    """render_image sharded over dp must equal the single-device image."""
+    import functools
+    import jax.numpy as jnp
+    from fashion_nerf.render.renderer import render_image
+    from fashion_nerf.train.loop import make_fields
+    cfg, ds = problem
+    import dataclasses
+    cfg = dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render, chunk=16))
+    mesh = make_mesh(dp=4, tp=1, devices=_cpu_devices(4))
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    field_c, field_f = make_fields(cfg)
+    fc = functools.partial(field_c, state.params["coarse"])
+    ff = functools.partial(field_f, state.params["fine"])
+    pose = jnp.eye(4)[:3].at[2, 3].set(4.0)
+    a = render_image(fc, ff, 8, 8, 10.0, pose, cfg)
+    b = render_image(fc, ff, 8, 8, 10.0, pose, cfg, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(a["rgb"]), np.asarray(b["rgb"]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a["depth"]),
+                               np.asarray(b["depth"]), atol=1e-4)
