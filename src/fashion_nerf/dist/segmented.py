@@ -18,11 +18,9 @@ against the single-device renderer on the virtual CPU mesh.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 def _segment_render(rgb, sigma, t_vals, dists):

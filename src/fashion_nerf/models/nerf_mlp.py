@@ -7,7 +7,7 @@ trunk layer `skips`, σ head off the trunk, RGB head off (feature ⊕ γ(d)).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import functools
 

@@ -15,10 +15,8 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from fashion_nerf.config import Config
-from fashion_nerf.core.sampling import sample_pdf  # noqa: F401 (re-export site)
 from fashion_nerf.data.pipeline import RayDataset
 from fashion_nerf.metrics import mse_to_psnr, psnr as psnr_fn
 from fashion_nerf.models.nerf_mlp import make_field

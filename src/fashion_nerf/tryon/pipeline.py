@@ -16,8 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from fashion_nerf.tryon.pose import rasterize_keypoints
-from fashion_nerf.tryon.segmentation import (make_agnostic, parse_to_masks,
-                                             resize_image)
+from fashion_nerf.tryon.segmentation import make_agnostic, resize_image
 from fashion_nerf.tryon.tps import fit_tps, grid_sample, tps_grid
 
 

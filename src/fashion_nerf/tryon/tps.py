@@ -9,7 +9,6 @@ equivalent of torch.nn.functional.grid_sample.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 
