@@ -101,6 +101,10 @@ def bench_train(cfg: Config, steps: int = 50, warmup: int = 10) -> dict:
     }
 
 
+# SURVEY.md §2.3 inventory name
+bench_render = run_bench
+
+
 def main():
     cfg = load_config("blender_lego")
     result = run_bench(cfg)

@@ -70,6 +70,7 @@ def load_blender(root: str, half_res: bool = False, white_bkgd: bool = True,
     test = composite(all_imgs.get("test", all_imgs["train"][:1]))
     test, _, _, _ = maybe_half(test, H, W, focal)
 
+    from fashion_nerf.data.synthetic import _pose_spherical
     render_poses = np.stack(
         [_pose_spherical(a, -30.0, 4.0)
          for a in np.linspace(-180, 180, 40, endpoint=False)])
@@ -85,15 +86,3 @@ def load_blender(root: str, half_res: bool = False, white_bkgd: bool = True,
         "render_poses": render_poses,
         "H": H2, "W": W2, "near": 2.0, "far": 6.0,
     }
-
-
-def _pose_spherical(theta_deg: float, phi_deg: float, radius: float):
-    th, ph = np.deg2rad(theta_deg), np.deg2rad(phi_deg)
-    trans = np.eye(4); trans[2, 3] = radius
-    rot_phi = np.eye(4)
-    rot_phi[1, 1] = rot_phi[2, 2] = np.cos(ph)
-    rot_phi[1, 2], rot_phi[2, 1] = -np.sin(ph), np.sin(ph)
-    rot_th = np.eye(4)
-    rot_th[0, 0] = rot_th[1, 1] = np.cos(th)
-    rot_th[0, 1], rot_th[1, 0] = -np.sin(th), np.sin(th)
-    return (rot_th @ rot_phi @ trans)[:3].astype(np.float32)

@@ -119,3 +119,10 @@ def prefetch_to_device(iterator: Iterator, size: int = 2, sharding=None):
         if nxt is not None:
             queue.append(_put(nxt))
         yield out
+
+
+def ray_dataset(cfg, images, poses, focal, **kw):
+    """SURVEY.md §2.2 inventory name: construct the device-resident ray set
+    for a config (ndc/precrop follow cfg)."""
+    return RayDataset(images, poses, focal, ndc=cfg.render.ndc,
+                      precrop_frac=cfg.train.precrop_frac, **kw)

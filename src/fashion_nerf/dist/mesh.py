@@ -98,3 +98,7 @@ def shard_state(mesh: Mesh, state):
         step=jax.device_put(state.step, replicated(mesh)),
         key=jax.device_put(state.key, replicated(mesh)),
     )
+
+
+# SURVEY.md §2.3 inventory name
+shard_rays = ray_sharding

@@ -350,3 +350,7 @@ def make_fused_field(cfg: Config):
         return field_core(params, pts, viewdirs)
 
     return field
+
+
+# SURVEY.md §2.1 inventory name for this substrate
+fused_posenc_mlp = make_fused_field

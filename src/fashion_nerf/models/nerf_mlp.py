@@ -106,3 +106,7 @@ def init_field(key, mcfg: ModelConfig, cond_dim: int = 0):
              if mcfg.use_viewdirs else None)
     cond = jnp.zeros((1, 1, cond_dim)) if cond_dim else None
     return module.init(key, x_enc, d_enc, cond)
+
+
+# SURVEY.md §2.1 inventory name
+init_nerf_params = init_field

@@ -243,6 +243,8 @@ def train(cfg: Config, dataset_dict: Optional[dict] = None,
     history = []
     t0 = time.perf_counter()
     rays_done = 0
+    last_val_psnr = None   # most recent eval, attached to ckpt saves for
+                           # best-PSNR retention
     for i in range(start, int(cfg.train.iters)):
         if fault_at_step is not None and i == fault_at_step:
             raise RuntimeError(f"injected fault at step {i} "
@@ -259,7 +261,6 @@ def train(cfg: Config, dataset_dict: Optional[dict] = None,
             t0, rays_done = now, 0
             history.append(entry)
             logger(entry)
-        last_val_psnr = None
         if (i + 1) % cfg.train.eval_every == 0:
             out, val_psnr = evaluate(cfg, state, dataset, garment=garment)
             if hasattr(logger, "image"):
