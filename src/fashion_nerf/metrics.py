@@ -41,20 +41,25 @@ def ssim(pred, target, max_val: float = 1.0, filter_size: int = 11,
     kern = kern[:, :, None, None]                           # (kh, kw, 1, 1)
 
     def filt(img):
-        # (H, W, C) → depthwise valid conv via feature-group trick
+        # (H, W, C) → depthwise valid conv via feature-group trick.
+        # HIGHEST precision: on TPU the default bf16 conv loses ~1e-3, and
+        # the σ² = E[x²]−μ² cancellation amplifies that into SSIM > 1 on
+        # near-identical images (observed 1.016 on a 33 dB render).
         x = img[None].transpose(0, 3, 1, 2)                 # (1, C, H, W)
         C = x.shape[1]
         k = jnp.tile(kern.transpose(3, 2, 0, 1), (C, 1, 1, 1))  # (C,1,kh,kw)
         y = jax.lax.conv_general_dilated(
             x, k, window_strides=(1, 1), padding="VALID",
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
-            feature_group_count=C)
+            feature_group_count=C,
+            precision=jax.lax.Precision.HIGHEST)
         return y[0].transpose(1, 2, 0)                      # (H', W', C)
 
     mu_p, mu_t = filt(pred), filt(target)
     mu_pp, mu_tt, mu_pt = mu_p * mu_p, mu_t * mu_t, mu_p * mu_t
-    sigma_pp = filt(pred * pred) - mu_pp
-    sigma_tt = filt(target * target) - mu_tt
+    # variances are non-negative by definition; float cancellation isn't
+    sigma_pp = jnp.maximum(filt(pred * pred) - mu_pp, 0.0)
+    sigma_tt = jnp.maximum(filt(target * target) - mu_tt, 0.0)
     sigma_pt = filt(pred * target) - mu_pt
 
     c1 = (k1 * max_val) ** 2
