@@ -8,9 +8,9 @@ the XLA runtime; there is no NCCL analog to port, reference@v1 ships no
 native code at all: /root/reference/README.md:1-2).
 
 PP is documented N/A (an 8×256 MLP fits one core's VMEM thousands of times
-over); the SP/CP analog (samples-per-ray scan decomposition) lives in
-kernels/render_pallas.py's block-carry design and is unnecessary at ≤192
-samples; EP is N/A (no MoE in the capability surface).
+over); the SP/CP analog (samples-per-ray scan decomposition) is implemented
+in dist/segmented.py (segmented_ray_scan) and unnecessary at ≤192 samples;
+EP is N/A (no MoE in the capability surface).
 """
 
 from __future__ import annotations
