@@ -77,8 +77,12 @@ def _profiler(run_dir: str):
 
 
 def _cmd_train(cfg, args):
+    from fashion_nerf.dist.mesh import resolve_mesh
     from fashion_nerf.train.loop import train
-    state, history = train(cfg, resume=args.resume)
+    mesh = resolve_mesh(cfg.dist)   # None on a single chip (dp=-1, tp=1)
+    if mesh is not None:
+        print(json.dumps({"mesh": dict(mesh.shape)}), file=sys.stderr)
+    state, history = train(cfg, resume=args.resume, mesh=mesh)
     print(json.dumps({"done": True, "steps": int(state.step),
                       "final": history[-1] if history else None}))
     return 0

@@ -39,6 +39,34 @@ def make_mesh(dp: int = -1, tp: int = 1, devices=None) -> Mesh:
     return Mesh(arr, ("dp", "tp"))
 
 
+def resolve_mesh(dcfg) -> Mesh | None:
+    """Production mesh from a DistConfig (cli.py calls this for every
+    subcommand): dp=-1 fills all visible devices; a 1×1 mesh returns None
+    (single-chip paths skip shard_map entirely). When the request exceeds
+    the default platform's device count, fall back to the "cpu" platform —
+    under the axon plugin jax.devices() hides the virtual host devices that
+    XLA_FLAGS=--xla_force_host_platform_device_count creates (the CLI-level
+    distributed tests run on that virtual mesh)."""
+    devices = list(jax.devices())
+    tp = dcfg.tp
+    dp = dcfg.dp if dcfg.dp != -1 else max(len(devices) // tp, 1)
+    n = dp * tp
+    if n > len(devices):
+        try:
+            cpus = list(jax.devices("cpu"))
+        except RuntimeError:
+            cpus = []
+        if len(cpus) >= n:
+            devices = cpus
+        else:
+            raise ValueError(
+                f"dist config dp={dp} tp={tp} needs {n} devices; "
+                f"have {len(devices)} ({len(cpus)} cpu)")
+    if n <= 1:
+        return None
+    return make_mesh(dp=dp, tp=tp, devices=devices)
+
+
 def ray_sharding(mesh: Mesh) -> NamedSharding:
     """Shard axis 0 (the ray batch) over dp; replicate over tp."""
     return NamedSharding(mesh, P("dp"))

@@ -5,12 +5,15 @@ weighted scan". One pallas_call per ray tile computes δ, α, the exclusive
 transmittance scan, and all weighted reductions (rgb/depth/acc) with the
 (rays × samples) tile resident in VMEM.
 
-Scan: exclusive cumsum of log(1−α) along the sample (lane) axis via
-jnp.cumsum minus self. (A triangular-matmul formulation reads the NaN-canary
-padding lanes when S < 128 — jnp.dot contracts the physically padded K dim —
-so the in-lane scan is both safer and layout-free.) This block-carry
-structure is also the §5.7 long-ray story: > VMEM sample counts would chain
-these tiles with a carried (acc_rgb, log_T) pair.
+Scan: exclusive prefix sum of log(1−α) along the sample (lane) axis via a
+strict-upper-triangular matmul on the MXU (jnp.cumsum has no Mosaic
+lowering). The contraction is safe because the wrapper pads the sample axis
+to a full 128-lane multiple with σ→−1e10 (zero density ⇒ log(1−α)=0) BEFORE
+the pallas_call — the matmul therefore never reads uninitialized physical
+padding lanes (which are NaN canaries in interpret mode, garbage on
+hardware). This block-carry structure is also the §5.7 long-ray story:
+> VMEM sample counts would chain these tiles with a carried
+(acc_rgb, log_T) pair.
 
 Color layout: rgb arrives transposed as (R, 3, S) — a (R, S, 3) block would
 pad 3 lanes to 128 and waste 42× VMEM.

@@ -1,14 +1,14 @@
-"""L8 — image quality metrics + throughput meter (BASELINE.json:2).
+"""L8 — image quality metrics (BASELINE.json:2).
 
 PSNR = −10·log₁₀(MSE). SSIM follows the standard Wang et al. definition:
 11×11 Gaussian window σ=1.5, K1=0.01, K2=0.03, per-channel then averaged
 (SURVEY.md §7 hard-part 5: pinned to this convention since the reference
 publishes no implementation to match — /root/reference/README.md:1-2).
+The rays/sec throughput meter lives where it is measured: train/loop.py's
+log cadence and bench/throughput.py.
 """
 
 from __future__ import annotations
-
-import time
 
 import jax
 import jax.numpy as jnp
@@ -67,22 +67,3 @@ def ssim(pred, target, max_val: float = 1.0, filter_size: int = 11,
     num = (2 * mu_pt + c1) * (2 * sigma_pt + c2)
     den = (mu_pp + mu_tt + c1) * (sigma_pp + sigma_tt + c2)
     return jnp.mean(num / den)
-
-
-class Throughput:
-    """Wall-clock rays/sec meter over block_until_ready windows
-    (SURVEY.md §5.1)."""
-
-    def __init__(self):
-        self.reset()
-
-    def reset(self):
-        self._rays = 0
-        self._t0 = time.perf_counter()
-
-    def add(self, n_rays: int):
-        self._rays += n_rays
-
-    def rays_per_sec(self) -> float:
-        dt = time.perf_counter() - self._t0
-        return self._rays / dt if dt > 0 else 0.0

@@ -2,10 +2,11 @@
 
 GarmentEncoder: a small strided conv net over the (H, W, 7) conditioning
 stack (warped cloth, masks, pose raster — tryon/pipeline.py) → one global
-feature vector, broadcast to every ray of the scene. ConditionedNeRF is the
-standard NeRFMLP with that feature concatenated into the trunk input
-(models/nerf_mlp.py already accepts `cond`); this module owns the encoder
-and the glue.
+feature vector, broadcast to every ray of the scene. The conditioned field
+itself IS the standard NeRFMLP: models/nerf_mlp.py accepts `cond` natively
+and concatenates it into the trunk input, so no wrapper class exists —
+train/loop.py's _make_cond/_eval_cond assemble the code and hand it through
+the one field convention (SURVEY.md §2.1 "models/conditioned.py" row).
 """
 
 from __future__ import annotations
@@ -36,20 +37,3 @@ def encode_garment(params, cond_stack, encoder: GarmentEncoder):
     x = cond_stack[None] if single else cond_stack
     out = encoder.apply(params, x)
     return out[0] if single else out
-
-
-class ConditionedNeRF:
-    """SURVEY.md §2.1 row "models/conditioned.py": the garment-conditioned
-    field = NeRFMLP with the garment code concatenated into the trunk input
-    (NeRFMLP handles `cond` natively). This wrapper packages encoder + field
-    under the inventory name."""
-
-    def __init__(self, mcfg, encoder: GarmentEncoder | None = None):
-        from fashion_nerf.models.nerf_mlp import make_field
-        self.encoder = encoder or GarmentEncoder(out_dim=mcfg.condition_dim)
-        self.module, self._field = make_field(mcfg)
-
-    def __call__(self, params, pts, viewdirs, cond_stack, encoder_params):
-        code = encode_garment(encoder_params, cond_stack, self.encoder)
-        cond = jnp.broadcast_to(code, (pts.shape[0], code.shape[-1]))
-        return self._field(params, pts, viewdirs, cond)

@@ -122,9 +122,21 @@ def render_image(field_coarse, field_fine, H: int, W: int, focal, c2w,
         ndev = mesh.shape["dp"]
         n_chunks = -(-n_chunks // ndev) * ndev   # chunk rows divide over dp
     pad = n_chunks * chunk - n
-    ro = jnp.pad(rays_o, ((0, pad), (0, 0))).reshape(n_chunks, chunk, 3)
-    rd = jnp.pad(rays_d, ((0, pad), (0, 0))).reshape(n_chunks, chunk, 3)
-    vd = jnp.pad(viewdirs, ((0, pad), (0, 0))).reshape(n_chunks, chunk, 3)
+
+    def _pad(x, unit_fill: bool):
+        # padded DIRECTION rows must be unit vectors, not zeros: the field
+        # normalizes d/||d|| and 0/0 NaNs abort under --sanitize
+        # (jax_debug_nans) even though the rows are sliced off (ADVICE r1)
+        if pad == 0:
+            return x.reshape(n_chunks, chunk, 3)
+        fill = jnp.zeros((pad, 3), x.dtype)
+        if unit_fill:
+            fill = fill.at[:, 2].set(-1.0)
+        return jnp.concatenate([x, fill], 0).reshape(n_chunks, chunk, 3)
+
+    ro = _pad(rays_o, unit_fill=False)
+    rd = _pad(rays_d, unit_fill=True)
+    vd = _pad(viewdirs, unit_fill=True)
     # NDC: field sees NDC-space points but view-dependence uses world dirs.
     # For the non-NDC case rays_d == viewdirs, so one code path suffices: the
     # field closure receives viewdirs separately.

@@ -142,6 +142,26 @@ def _make_cond(cfg: Config, params, batch, garment=None):
     return jnp.concatenate(parts, axis=-1)
 
 
+@functools.lru_cache(maxsize=8)
+def _eval_render_fn(cfg: Config, H: int, W: int, focal: float,
+                    has_cond: bool):
+    """One jitted whole-image eval renderer per (cfg, H, W, focal): params,
+    pose, and cond are traced args so periodic in-training evals reuse the
+    executable instead of dispatching pad/reshape/unchunk ops eagerly (each
+    eager op costs a round-trip through the axon tunnel — ADVICE r1)."""
+    field_c, field_f = make_fields(cfg)
+
+    def _render(params, pose, cond):
+        fc = functools.partial(_eval_field(field_c), params["coarse"])
+        ff = (functools.partial(_eval_field(field_f), params["fine"])
+              if cfg.sampling.n_fine > 0 else None)
+        return render_image(fc, ff, H, W, focal, pose, cfg, cond=cond,
+                            use_pallas_render=cfg.kernels.use_pallas
+                            and cfg.kernels.fused_render)
+
+    return jax.jit(_render)
+
+
 def evaluate(cfg: Config, state: TrainState, dataset, key=None,
              garment=None, frame_id: int = 0):
     """Render the held-out view and compute PSNR (eval cadence of §3.1).
@@ -149,15 +169,10 @@ def evaluate(cfg: Config, state: TrainState, dataset, key=None,
     Conditioned/dynamic runs rebuild the cond vector from the garment stack
     and the given frame's latent (the held-out view has no latent of its
     own, so frame 0's code is the standard stand-in)."""
-    field_c, field_f = make_fields(cfg)
     cond = _eval_cond(cfg, state.params, garment, frame_id)
-    fc = functools.partial(_eval_field(field_c), state.params["coarse"])
-    ff = (functools.partial(_eval_field(field_f), state.params["fine"])
-          if cfg.sampling.n_fine > 0 else None)
-    out = render_image(fc, ff, dataset.H, dataset.W, dataset.focal,
-                       jnp.asarray(dataset.val_pose), cfg, cond=cond,
-                       use_pallas_render=cfg.kernels.use_pallas
-                       and cfg.kernels.fused_render)
+    render = _eval_render_fn(cfg, dataset.H, dataset.W,
+                             float(dataset.focal), cond is not None)
+    out = render(state.params, jnp.asarray(dataset.val_pose), cond)
     val_psnr = psnr_fn(out["rgb"], jnp.asarray(dataset.val_image))
     return out, float(val_psnr)
 
@@ -215,9 +230,12 @@ def train(cfg: Config, dataset_dict: Optional[dict] = None,
     trajectory (SURVEY.md §5.4). fault_at_step: test hook raising mid-run to
     exercise kill-and-resume recovery (SURVEY.md §5.3).
     """
+    import os
+
     from fashion_nerf import ckpt as ckpt_lib
-    from fashion_nerf.dist.mesh import init_distributed
+    from fashion_nerf.dist.mesh import init_distributed, shard_state
     from fashion_nerf.logging_ import MetricLogger
+    from fashion_nerf.prng import KeyChain
 
     init_distributed(cfg.dist.multihost)
     if dataset_dict is None:
@@ -228,13 +246,23 @@ def train(cfg: Config, dataset_dict: Optional[dict] = None,
     dataset.val_image = dataset_dict["val_image"]
     dataset.val_pose = dataset_dict["val_pose"]
 
-    key = jax.random.PRNGKey(cfg.train.seed)
-    state = create_train_state(cfg, key)
+    # KeyChain (SURVEY.md §5.2): every host-side draw is a single-use split
+    # of the run key — init and the per-step stream can never share a key
+    # (the stream itself is threaded functionally through state.key)
+    chain = KeyChain(jax.random.PRNGKey(cfg.train.seed))
+    state = create_train_state(cfg, chain.once("init"))
+    chain.freeze()   # everything after this point draws from state.key
+    if mesh is not None:
+        state = shard_state(mesh, state)
     garment = resolve_garment(cfg, dataset_dict, dataset.H, dataset.W)
     step_fn = make_train_step(cfg, dataset, mesh=mesh, garment=garment)
     all_rays = dataset.batch_arrays()
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        all_rays = jax.device_put(all_rays, NamedSharding(mesh, P()))
 
-    logger = log_fn or MetricLogger(cfg)
+    logger = log_fn or MetricLogger(
+        cfg, log_dir=os.path.join(cfg.out_dir, cfg.name, "tb"))
     ckpt_dir = f"{cfg.out_dir}/{cfg.name}/ckpt"
     start = 0
     if resume and ckpt_lib.latest_step(ckpt_dir) is not None:
