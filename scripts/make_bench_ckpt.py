@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Train the flagship (blender-class coarse+fine) model on the hermetic
+synthetic scene and commit-ready-save the weights to assets/.
+
+The benchmark loads these weights so early-ray-termination / occupancy wins
+are measurable: at random init ~99.5% of samples stay alive and transmittance
+never saturates (VERDICT r1 weak #3). Run on the TPU:
+
+    PYTHONPATH=/root/repo/src:$PYTHONPATH python scripts/make_bench_ckpt.py \
+        [--steps 12000] [--views 16] [--res 160]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "src"))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=12000)
+    ap.add_argument("--views", type=int, default=16)
+    ap.add_argument("--res", type=int, default=160)
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--sparsity", type=float, default=1e-4)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    from fashion_nerf.assets import FLAGSHIP_CKPT, save_params
+    from fashion_nerf.config import load_config
+    from fashion_nerf.data.pipeline import RayDataset
+    from fashion_nerf.data.synthetic import make_synthetic_scene
+    from fashion_nerf.train.loop import evaluate, make_train_step
+    from fashion_nerf.train.state import create_train_state
+
+    cfg = load_config("blender_lego", [
+        f"train.batch_rays={args.batch}",
+        f"train.iters={args.steps}",
+        "train.precrop_iters=500",
+        f"train.lr_decay_steps={args.steps}",
+        # sparsity prior keeps unobserved space empty — without it the
+        # occupancy box inflates to the whole world and culling dies
+        # (measured r2: box = world at weight 0)
+        f"train.sparsity_weight={args.sparsity}",
+    ])
+    print("scene: procedural spheres "
+          f"{args.views} views @ {args.res}x{args.res}", flush=True)
+    scene = make_synthetic_scene(n_views=args.views, H=args.res, W=args.res)
+    ds = RayDataset(scene["images"], scene["poses"], scene["focal"],
+                    precrop_frac=cfg.train.precrop_frac)
+    ds.val_image = scene["val_image"]
+    ds.val_pose = scene["val_pose"]
+
+    state = create_train_state(cfg, jax.random.PRNGKey(cfg.train.seed))
+    step = make_train_step(cfg, ds)
+    all_rays = ds.batch_arrays()
+
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        state, m = step(state, all_rays)
+        if (i + 1) % 1000 == 0:
+            loss = float(m["loss"])  # host pull = the only reliable sync
+            dt = time.perf_counter() - t0
+            print(f"step {i+1}/{args.steps} loss={loss:.5f} "
+                  f"({1000 * args.batch / dt:,.0f} rays/s)", flush=True)
+            t0 = time.perf_counter()
+
+    _, val_psnr = evaluate(cfg, state, ds)
+    print(f"val PSNR after {args.steps} steps: {val_psnr:.2f} dB", flush=True)
+
+    out = args.out or FLAGSHIP_CKPT
+    params = jax.device_get(state.params)
+    save_params(out, params, meta={
+        "steps": args.steps, "val_psnr": val_psnr,
+        "scene": "synthetic_spheres_seed0",
+        "views": args.views, "res": args.res,
+        "sparsity_weight": args.sparsity,
+        "config": cfg.name,
+    })
+    print(f"saved {out} ({os.path.getsize(out)/1e6:.2f} MB)")
+
+
+if __name__ == "__main__":
+    main()

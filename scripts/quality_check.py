@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Equivalence evidence for the occupancy-culled fast render path
+(VERDICT r1 #2 gate: PSNR delta < 0.1 dB vs the dense path on a TRAINED
+model). Renders 800×800 with the committed flagship weights:
+
+  dense   = 64+128 samples over [near, far]        (the r1 baseline path)
+  culled  = same budget inside per-ray AABB ranges (sanity: ≈ dense)
+  fast    = 32+64 budget inside per-ray AABB ranges (the production path)
+
+and reports pairwise PSNR plus PSNR vs the analytic ground truth.
+
+    PYTHONPATH=/root/repo/src:$PYTHONPATH python scripts/quality_check.py
+"""
+
+import functools
+import os
+import sys
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "src"))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fashion_nerf.assets import load_flagship
+    from fashion_nerf.config import load_config
+    from fashion_nerf.core.occupancy import build_from_config
+    from fashion_nerf.metrics import psnr
+    from fashion_nerf.render.renderer import render_image
+    from fashion_nerf.train.loop import make_fields
+
+    H = W = 800
+    params, meta = load_flagship()
+    print({k: (v.item() if getattr(v, 'ndim', 1) == 0 else str(v))
+           for k, v in meta.items()})
+
+    focal = 0.5 * W / np.tan(0.5 * 0.6911)
+    c2w = np.eye(4, dtype=np.float32)[:3]
+    c2w[2, 3] = 4.0
+    # analytic GT in row strips — a whole-image 800×800×512-sample pts array
+    # is ~4 GB and thrashes the host
+    from fashion_nerf.data.synthetic import field_np
+
+    def strip_view(y0, n_rows, n_samples=512, near=2.0, far=6.0):
+        i, j = np.meshgrid(np.arange(W, dtype=np.float32),
+                           np.arange(y0, y0 + n_rows, dtype=np.float32),
+                           indexing="xy")
+        dirs = np.stack([(i - W * .5) / focal, -(j - H * .5) / focal,
+                         -np.ones_like(i)], -1)
+        rays_d = dirs @ c2w[:3, :3].T
+        rays_o = np.broadcast_to(c2w[:3, -1], rays_d.shape)
+        t = np.linspace(near, far, n_samples, dtype=np.float32)
+        pts = rays_o[..., None, :] + rays_d[..., None, :] * t[:, None]
+        rgb, sigma = field_np(pts)
+        delta = (far - near) / (n_samples - 1) * np.linalg.norm(
+            rays_d, axis=-1, keepdims=True)
+        alpha = 1.0 - np.exp(-sigma * delta)
+        trans = np.cumprod(1.0 - alpha + 1e-10, axis=-1)
+        trans = np.concatenate(
+            [np.ones_like(trans[..., :1]), trans[..., :-1]], -1)
+        w = alpha * trans
+        img = (w[..., None] * rgb).sum(-2) + (1.0 - w.sum(-1)[..., None])
+        return np.clip(img, 0, 1).astype(np.float32)
+
+    gt = np.concatenate([strip_view(y0, 50) for y0 in range(0, H, 50)], 0)
+
+    def render(n_coarse, n_fine, occ_on):
+        cfg = load_config("blender_lego", [
+            f"sampling.n_coarse={n_coarse}", f"sampling.n_fine={n_fine}",
+            "occupancy.enabled=true"])
+        field_c, field_f = make_fields(cfg)
+        fc = functools.partial(field_c, params["coarse"])
+        ff = functools.partial(field_f, params["fine"])
+        occ = (jax.jit(lambda: build_from_config(cfg, ff))()
+               if occ_on else None)
+        img = jax.jit(lambda pose: render_image(
+            fc, ff, H, W, focal, pose, cfg, occ=occ)["rgb"])(jnp.asarray(c2w))
+        float(img[0, 0, 0])   # sync through the tunnel
+        return np.asarray(img)
+
+    dense = render(64, 128, occ_on=False)
+    culled = render(64, 128, occ_on=True)
+    fast = render(32, 64, occ_on=True)
+
+    gt_j = jnp.asarray(gt)
+    rows = [
+        ("dense 64+128", dense),
+        ("culled 64+128", culled),
+        ("fast (culled 32+64)", fast),
+    ]
+    print(f"\n{'path':24s} {'PSNR vs GT':>12s} {'PSNR vs dense':>14s}")
+    for name, img in rows:
+        vs_gt = float(psnr(jnp.asarray(img), gt_j))
+        vs_dense = (float(psnr(jnp.asarray(img), jnp.asarray(dense)))
+                    if img is not dense else float("inf"))
+        print(f"{name:24s} {vs_gt:12.2f} {vs_dense:14.2f}")
+    d_gt = float(psnr(jnp.asarray(dense), gt_j))
+    f_gt = float(psnr(jnp.asarray(fast), gt_j))
+    print(f"\nPSNR-vs-GT delta (fast - dense): {f_gt - d_gt:+.3f} dB "
+          f"(gate: > -0.1 dB)")
+
+
+if __name__ == "__main__":
+    main()

@@ -22,12 +22,31 @@ from fashion_nerf.train.state import create_train_state
 NORTH_STAR_RAYS_PER_SEC = 10_000_000  # BASELINE.json:5 target on v5e
 
 
+def _bench_params(cfg: Config):
+    """The committed trained flagship weights when they fit this cfg, else
+    random init. Trained weights matter: occupancy culling and transmittance
+    early-termination are structurally invisible at random init (~99.5% of
+    samples stay alive — VERDICT r1), so benching them there understates the
+    production renderer."""
+    from fashion_nerf.assets import load_flagship
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    params = jax.device_get(state.params)
+    loaded = load_flagship()
+    if loaded is None:
+        return params, False
+    trained, _meta = loaded
+    shapes_match = jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: a.shape == b.shape, params, trained))
+    if not shapes_match:
+        return params, False
+    return trained, True
+
+
 def run_bench(cfg: Config, H: int = 800, W: int = 800, warmup: int = 1,
               iters: int = 3) -> dict:
     """Render H×W with the cfg's sampling stack; report rays/sec/chip."""
-    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    params, trained = _bench_params(cfg)
     field_c, field_f = make_fields(cfg)
-    params = jax.device_get(state.params)
     use_pallas = cfg.kernels.use_pallas and cfg.kernels.fused_render
 
     fc = functools.partial(field_c, params["coarse"])
@@ -37,9 +56,25 @@ def run_bench(cfg: Config, H: int = 800, W: int = 800, warmup: int = 1,
     c2w = np.eye(4, dtype=np.float32)[:3]
     c2w[2, 3] = 4.0
 
-    render = jax.jit(lambda pose: render_image(
-        fc, ff, H, W, focal, pose, cfg,
-        use_pallas_render=use_pallas)["rgb"])
+    occ = None
+    if cfg.occupancy.enabled and trained:
+        # one-time lattice sweep against the trained fine field (the culling
+        # oracle must be the same net the renderer evaluates)
+        from fashion_nerf.core.occupancy import build_from_config
+        occ = jax.jit(lambda: build_from_config(cfg, ff or fc))()
+
+    blockwise = (cfg.kernels.use_pallas and cfg.kernels.blockwise
+                 and cfg.kernels.fused_mlp)
+    if blockwise:
+        # the production fast path: fused field blocks + per-tile
+        # early-termination/culling skips (render/blockwise.py)
+        from fashion_nerf.render.blockwise import render_image_blockwise
+        render = jax.jit(lambda pose: render_image_blockwise(
+            params, cfg, H, W, focal, pose, occ=occ)["rgb"])
+    else:
+        render = jax.jit(lambda pose: render_image(
+            fc, ff, H, W, focal, pose, cfg,
+            use_pallas_render=use_pallas, occ=occ)["rgb"])
 
     pose = jnp.asarray(c2w)
 
@@ -68,6 +103,9 @@ def run_bench(cfg: Config, H: int = 800, W: int = 800, warmup: int = 1,
         "frame_seconds": round(dt, 4),
         "config": cfg.name,
         "pallas": bool(cfg.kernels.use_pallas),
+        "blockwise": blockwise,
+        "trained_ckpt": trained,
+        "occupancy_cull": occ is not None,
         "device": str(jax.devices()[0]),
     }
 

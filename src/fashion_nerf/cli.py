@@ -15,7 +15,11 @@ def _parser():
     p = argparse.ArgumentParser(prog="fashion-nerf",
                                 description="TPU-native NeRF + try-on")
     sub = p.add_subparsers(dest="cmd", required=True)
-    for name in ("train", "render", "eval", "preprocess", "bench"):
+    # parity: per-scene PSNR/SSIM table vs the BASELINE.md §6 anchors over
+    # every scene under data.root (BASELINE.json:5 gate). Train each scene
+    # first: `train --set data.root=<root>/<scene> --out <out>/<scene>`;
+    # then `parity --set data.root=<root> --out <out>` sweeps them.
+    for name in ("train", "render", "eval", "preprocess", "bench", "parity"):
         sp = sub.add_parser(name)
         sp.add_argument("--config", default="tiny_lego",
                         help="preset name (see fashion_nerf.config.PRESETS)")
@@ -63,6 +67,8 @@ def main(argv=None):
             return _cmd_preprocess(cfg, args)
         if args.cmd == "bench":
             return _cmd_bench(cfg, args)
+        if args.cmd == "parity":
+            return _cmd_parity(cfg, args)
     return 0
 
 
@@ -97,6 +103,17 @@ def _restored_state(cfg):
     return ckpt_lib.restore(ckpt_dir, tmpl)
 
 
+def _maybe_occ(cfg, field):
+    """Occupancy culling state for a restored model (core/occupancy.py) —
+    the render/eval CLIs cull whenever the config enables it (training never
+    builds one: the grid is only meaningful on trained weights)."""
+    if not cfg.occupancy.enabled or field is None:
+        return None
+    import jax
+    from fashion_nerf.core.occupancy import build_from_config
+    return jax.jit(lambda: build_from_config(cfg, field))()
+
+
 def _cmd_render(cfg, args):
     import jax.numpy as jnp
     import numpy as np
@@ -111,6 +128,7 @@ def _cmd_render(cfg, args):
     fc = functools.partial(field_c, state.params["coarse"])
     ff = (functools.partial(field_f, state.params["fine"])
           if cfg.sampling.n_fine > 0 else None)
+    occ = _maybe_occ(cfg, ff or fc)
     poses = d.get("render_poses", d["poses"])
     from fashion_nerf.train.loop import resolve_garment
     garment = resolve_garment(cfg, d, d["H"], d["W"])
@@ -122,13 +140,13 @@ def _cmd_render(cfg, args):
             cond = _eval_cond(cfg, state.params, garment,
                               frame_id=i % max(cfg.model.n_latents, 1))
             out = render_image(fc, ff, d["H"], d["W"], d["focal"],
-                               jnp.asarray(pose), cfg, cond=cond)
+                               jnp.asarray(pose), cfg, cond=cond, occ=occ)
             frames.append(out["rgb"])
         frames = jnp.stack(frames)
     else:
         cond = _eval_cond(cfg, state.params, garment)
         frames = render_path(fc, ff, poses, d["H"], d["W"], d["focal"],
-                             cfg, cond=cond)
+                             cfg, cond=cond, occ=occ)
     out = os.path.join(cfg.out_dir, cfg.name, "render")
     os.makedirs(out, exist_ok=True)
     import imageio.v2 as imageio
@@ -145,37 +163,66 @@ def _cmd_render(cfg, args):
     return 0
 
 
-def _cmd_eval(cfg, args):
+def _eval_scores(cfg):
+    """Restore the run's checkpoint and score its test views →
+    (mean_psnr, mean_ssim, n_views). Shared by eval and parity."""
     import functools
     import jax.numpy as jnp
     import numpy as np
     from fashion_nerf.metrics import psnr, ssim
     from fashion_nerf.render.renderer import render_image
-    from fashion_nerf.train.loop import _load_dataset, make_fields
+    from fashion_nerf.train.loop import (_eval_cond, _load_dataset,
+                                         make_fields, resolve_garment)
 
-    from fashion_nerf.train.loop import _eval_cond
     state = _restored_state(cfg)
     d = _load_dataset(cfg)
     field_c, field_f = make_fields(cfg)
     fc = functools.partial(field_c, state.params["coarse"])
     ff = (functools.partial(field_f, state.params["fine"])
           if cfg.sampling.n_fine > 0 else None)
-    from fashion_nerf.train.loop import resolve_garment
     cond = _eval_cond(cfg, state.params,
                       resolve_garment(cfg, d, d["H"], d["W"]))
+    occ = _maybe_occ(cfg, ff or fc)
     test_images = d.get("test_images", d["val_image"][None])
     test_poses = d.get("test_poses", np.asarray(d["val_pose"])[None])
     scores = []
     for img, pose in zip(test_images, test_poses):
         out = render_image(fc, ff, d["H"], d["W"], d["focal"],
-                           jnp.asarray(pose), cfg, cond=cond)
+                           jnp.asarray(pose), cfg, cond=cond, occ=occ)
         scores.append((float(psnr(out["rgb"], jnp.asarray(img))),
                        float(ssim(out["rgb"], jnp.asarray(img)))))
     mean_psnr = sum(s[0] for s in scores) / len(scores)
     mean_ssim = sum(s[1] for s in scores) / len(scores)
-    print(json.dumps({"psnr": mean_psnr, "ssim": mean_ssim,
-                      "n_views": len(scores)}))
+    return mean_psnr, mean_ssim, len(scores)
+
+
+def _cmd_eval(cfg, args):
+    from fashion_nerf.parity import anchor_row
+    mean_psnr, mean_ssim, n = _eval_scores(cfg)
+    row = {"psnr": mean_psnr, "ssim": mean_ssim, "n_views": n}
+    if cfg.data.root:
+        row.update(anchor_row(cfg.data.root, cfg.data.dataset, mean_psnr))
+    print(json.dumps(row))
     return 0
+
+
+def _cmd_parity(cfg, args):
+    """Per-scene PSNR/SSIM vs the §6 anchors (BASELINE.json:5 gate) over
+    every scene directory under data.root. Expects per-scene checkpoints at
+    <out>/<scene>/<config>/ckpt — the layout `train --out <out>/<scene>`
+    produces."""
+    import dataclasses
+    from fashion_nerf.parity import run_parity
+
+    def eval_scene(scene_cfg):
+        scene = os.path.basename(os.path.normpath(scene_cfg.data.root))
+        scene_cfg = dataclasses.replace(
+            scene_cfg, out_dir=os.path.join(cfg.out_dir, scene))
+        p, s, _ = _eval_scores(scene_cfg)
+        return p, s
+
+    rows = run_parity(cfg, eval_scene)
+    return 0 if rows else 1
 
 
 def _cmd_preprocess(cfg, args):

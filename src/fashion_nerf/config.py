@@ -50,6 +50,22 @@ class RenderConfig:
 
 
 @dataclass(frozen=True)
+class OccupancyConfig:
+    """Empty-space culling from a trained field (core/occupancy.py). Built
+    once at render/eval/bench setup; training is unaffected. The sample-work
+    reduction it buys is the only road to the 10M rays/s north star
+    (BASELINE.json:5 — dense 256-eval rendering caps at ~650k rays/s on v5e)."""
+    enabled: bool = False
+    resolution: int = 64          # lattice cells per axis (one-time G³ σ sweep)
+    sigma_threshold: float = 1e-2  # post-activation density for "occupied"
+    margin_cells: int = 1         # conservative AABB dilation
+    # scan box (world units; NDC configs should use ±1). The culling AABB
+    # tightens to occupied cells inside it, so loose bounds are safe.
+    world_min: float = -2.0
+    world_max: float = 2.0
+
+
+@dataclass(frozen=True)
 class KernelConfig:
     """Pallas kernel selection. Every kernel has an XLA-composed fallback
     (SURVEY.md §2.5); flags flip the hot paths to the Pallas twins."""
@@ -59,6 +75,11 @@ class KernelConfig:
     fused_resample: bool = True   # kernels/resample_pallas
     mlp_dtype: str = "bfloat16"   # matmul input dtype inside fused MLP (accum f32)
     interpret: bool = False       # run Pallas in interpreter mode (CPU debugging)
+    # blockwise early-terminated render pipeline (render/blockwise.py):
+    # sample-blocks of the fused field with per-tile transmittance skipping
+    blockwise: bool = True        # use it for whole-image renders when use_pallas
+    block_samples: int = 32       # samples per block (tile = 2048/SB rays)
+    early_term_eps: float = 1e-4  # stop marching when transmittance < ε (0 = off)
 
 
 @dataclass(frozen=True)
@@ -75,6 +96,13 @@ class TrainConfig:
     ckpt_keep: int = 3
     precrop_iters: int = 0        # train on center crop for first N iters
     precrop_frac: float = 0.5
+    # density sparsity prior: Cauchy penalty log(1+σ²/2) on density at random
+    # points in the occupancy world box. Unobserved space gets no
+    # reconstruction gradient, so without this the field grows junk density
+    # there ("floaters") that inflates the occupancy grid and defeats
+    # culling/early termination (measured: box → whole world at r2 bring-up).
+    sparsity_weight: float = 0.0
+    sparsity_points: int = 1024   # random world points per step
 
 
 @dataclass(frozen=True)
@@ -100,6 +128,7 @@ class Config:
     model: ModelConfig = field(default_factory=ModelConfig)
     sampling: SamplingConfig = field(default_factory=SamplingConfig)
     render: RenderConfig = field(default_factory=RenderConfig)
+    occupancy: OccupancyConfig = field(default_factory=OccupancyConfig)
     kernels: KernelConfig = field(default_factory=KernelConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
     data: DataConfig = field(default_factory=DataConfig)

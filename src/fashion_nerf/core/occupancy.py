@@ -1,0 +1,172 @@
+"""Occupancy-driven empty-space culling (NerfAcc pattern, PAPERS.md).
+
+The physics of the 10M rays/s target (BASELINE.json:5): a dense 256-eval/ray
+renderer caps at ~650k rays/s on v5e even at 100% MFU, so the only road is
+doing ≥15× less field work per ray. This module supplies the spatial half of
+that: a binary occupancy grid sampled once from the trained field, reduced to
+a tight axis-aligned box, intersected per ray. Rays that miss the box skip
+the field entirely (composited straight to background); rays that hit get
+their whole static sample budget concentrated inside [t_lo, t_hi] instead of
+[near, far]. The temporal half (transmittance early termination) lives in
+kernels/megakernel_pallas.py, which consumes this module's per-ray ranges.
+
+TPU-native notes: the grid is built with one jitted lattice sweep (batched
+MXU matmuls, no per-cell host loop) and collapsed to an AABB with masked
+reductions — per-sample grid *lookups* at render time would be gathers, which
+measure poorly on TPU (see core/sampling.py), so culling is done analytically
+against the box instead. Everything is shape-static and jit-safe.
+
+Reference@v1 ships no acceleration structure (/root/reference/README.md:1-2
+is the entire repo); the design follows NerfAcc (PAPERS.md) re-thought for
+XLA's static-shape model.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class OccupancyState(NamedTuple):
+    """Per-trained-model culling state passed through the renderer.
+
+    box_min/box_max: (3,) tight world-space AABB of occupied cells (with a
+    conservative one-cell margin). grid: (G,G,G) bool occupancy, retained for
+    diagnostics and finer-grained future culling.
+    """
+    box_min: jax.Array
+    box_max: jax.Array
+    grid: jax.Array
+
+
+def build_occupancy(field: Callable, world_min, world_max,
+                    resolution: int = 64, sigma_threshold: float = 1e-2,
+                    margin_cells: int = 1, chunk: int = 65536,
+                    sigma_activation: str = "relu") -> OccupancyState:
+    """Sample σ on a G³ lattice of cell centers and reduce to culling state.
+
+    Args:
+      field: bound field fn (pts (R,S,3), viewdirs (R,3), cond) → (rgb, σ-raw)
+        — the repo-wide field convention (models/__init__.py). σ is evaluated
+        with a dummy view direction (density is view-independent by
+        construction in every field here).
+      world_min/world_max: scalars or (3,) — the region scanned. A loose scan
+        box is fine: the returned AABB tightens to occupied cells.
+      resolution: lattice cells per axis (G). G=64 → 262k evals, one-time.
+      sigma_threshold: raw density (post-activation) above which a cell
+        counts as occupied. With typical step sizes δ≈1e-2, σ=1e-2 gives
+        per-step alpha ≈ 1e-4 — visually nothing is lost below it.
+      margin_cells: conservative dilation of the AABB, in cells.
+      chunk: lattice points per field dispatch (bounds device memory).
+
+    One-time cost; call at render/eval/bench setup, outside the frame loop.
+    """
+    g = resolution
+    world_min = jnp.broadcast_to(jnp.asarray(world_min, jnp.float32), (3,))
+    world_max = jnp.broadcast_to(jnp.asarray(world_max, jnp.float32), (3,))
+    cell = (world_max - world_min) / g
+    # cell centers
+    ax = [world_min[i] + cell[i] * (jnp.arange(g, dtype=jnp.float32) + 0.5)
+          for i in range(3)]
+    xx, yy, zz = jnp.meshgrid(*ax, indexing="ij")
+    pts = jnp.stack([xx, yy, zz], axis=-1).reshape(-1, 3)       # (G³, 3)
+
+    n = pts.shape[0]
+    rows = max(1, chunk // g)
+    n_chunks = -(-n // (rows * g))
+    pad = n_chunks * rows * g - n
+    pts = jnp.pad(pts, ((0, pad), (0, 0)))
+    pts = pts.reshape(n_chunks, rows, g, 3)                     # (C, R, S, 3)
+    dummy_dirs = jnp.broadcast_to(
+        jnp.array([0.0, 0.0, -1.0], jnp.float32), (rows, 3))
+
+    def eval_chunk(p):
+        _, sigma_raw = field(p, dummy_dirs, None)
+        return sigma_raw                                        # (R, S)
+
+    sigma_raw = jax.lax.map(eval_chunk, pts).reshape(-1)[:n]
+    if sigma_activation == "softplus":
+        density = jax.nn.softplus(sigma_raw)
+    else:
+        density = jax.nn.relu(sigma_raw)
+    grid = (density > sigma_threshold).reshape(g, g, g)
+
+    # tight AABB of occupied cells via masked index reductions (no gather)
+    idx = [jax.lax.broadcasted_iota(jnp.int32, (g, g, g), d)
+           for d in range(3)]
+    any_occ = jnp.any(grid)
+    lo_i, hi_i = [], []
+    for d in range(3):
+        lo_i.append(jnp.min(jnp.where(grid, idx[d], g)))
+        hi_i.append(jnp.max(jnp.where(grid, idx[d], -1)))
+    lo_i = jnp.stack(lo_i) - margin_cells
+    hi_i = jnp.stack(hi_i) + 1 + margin_cells     # exclusive upper cell
+    box_min = world_min + cell * jnp.clip(lo_i, 0, g).astype(jnp.float32)
+    box_max = world_min + cell * jnp.clip(hi_i, 0, g).astype(jnp.float32)
+    # empty grid (untrained / degenerate model): fall back to the full scan
+    # box so culling is a no-op rather than wrong
+    box_min = jnp.where(any_occ, box_min, world_min)
+    box_max = jnp.where(any_occ, box_max, world_max)
+    return OccupancyState(box_min=box_min, box_max=box_max, grid=grid)
+
+
+def build_from_config(cfg, field: Callable) -> OccupancyState:
+    """Config-driven wrapper: `field` is a BOUND field fn (pts, viewdirs,
+    cond) → (rgb, σ) — usually the fine network with trained params."""
+    ocfg = cfg.occupancy
+    return build_occupancy(
+        field, ocfg.world_min, ocfg.world_max,
+        resolution=ocfg.resolution,
+        sigma_threshold=ocfg.sigma_threshold,
+        margin_cells=ocfg.margin_cells,
+        sigma_activation=cfg.model.sigma_activation)
+
+
+def ray_aabb_intersect(rays_o, rays_d, box_min, box_max, near, far):
+    """Slab-test rays against an AABB, clipped to [near, far] along the ray.
+
+    Args:
+      rays_o, rays_d: (R, 3); t parameterizes o + t·d (d NOT normalized —
+      matches the sampling convention where t spans [near, far]).
+
+    Returns:
+      t_lo, t_hi: (R,) entry/exit, clipped to [near, far]. For misses
+        t_lo == t_hi == far (a degenerate range — samplers still produce
+        monotone t; callers mask the output via `hit`).
+      hit: (R,) bool — ray intersects the box within [near, far].
+    """
+    inv = 1.0 / jnp.where(jnp.abs(rays_d) < 1e-10,
+                          jnp.where(rays_d < 0, -1e-10, 1e-10), rays_d)
+    t0 = (box_min[None, :] - rays_o) * inv                      # (R, 3)
+    t1 = (box_max[None, :] - rays_o) * inv
+    t_near = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    t_far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    near = jnp.broadcast_to(jnp.asarray(near, jnp.float32), t_near.shape)
+    far = jnp.broadcast_to(jnp.asarray(far, jnp.float32), t_far.shape)
+    t_lo = jnp.clip(t_near, near, far)
+    t_hi = jnp.clip(t_far, near, far)
+    hit = t_hi > t_lo
+    t_lo = jnp.where(hit, t_lo, far)
+    t_hi = jnp.where(hit, t_hi, far)
+    return t_lo, t_hi, hit
+
+
+def cull_background(out: dict, hit, white_bkgd: bool) -> dict:
+    """Overwrite per-ray outputs for rays that miss the occupancy box with
+    the exact background the dense path converges to (σ≈0 everywhere along
+    the ray): rgb = white or black, acc = 0, weights = 0, depth = 0.
+
+    Applied by the renderer so the XLA culled path and the Pallas megakernel
+    (which skips these rays' field evals outright) agree bit-for-bit on
+    misses."""
+    h = hit[:, None]
+    bg = 1.0 if white_bkgd else 0.0
+    return {
+        "rgb": jnp.where(h, out["rgb"], bg),
+        "depth": jnp.where(hit, out["depth"], 0.0),
+        "acc": jnp.where(hit, out["acc"], 0.0),
+        "weights": jnp.where(hit[:, None], out["weights"], 0.0),
+        "disp": jnp.where(hit, out["disp"], 1e10),
+    }

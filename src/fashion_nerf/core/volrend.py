@@ -21,7 +21,7 @@ _INF_DIST = 1e10
 
 def volume_render(rgb, sigma, t_vals, rays_d, white_bkgd: bool = False,
                   raw_noise_std: float = 0.0, key: Optional[jax.Array] = None,
-                  sigma_activation: str = "relu"):
+                  sigma_activation: str = "relu", t_end=None):
     """Composite per-sample (rgb, σ) into per-ray outputs.
 
     Args:
@@ -33,14 +33,25 @@ def volume_render(rgb, sigma, t_vals, rays_d, white_bkgd: bool = False,
       raw_noise_std: σ-pre-activation Gaussian noise (training regularizer).
       key: PRNG key, required iff raw_noise_std > 0.
       sigma_activation: relu | softplus.
+      t_end: None → canonical NeRF infinite last interval (trailing density
+        absorbs everything). Scalar or (R,) → finite integration bound: the
+        last sample's interval is t_end − t_vals[:, -1]. The occupancy-culled
+        path requires this: its last sample sits at the box EXIT where σ is
+        small but nonzero (≤ the grid threshold by construction), and σ·∞
+        would saturate α and bleed surface color into through-rays.
 
     Returns dict: rgb (R,3), depth (R,), acc (R,), weights (R,S), disp (R,).
     """
     dists = t_vals[:, 1:] - t_vals[:, :-1]                         # (R, S-1)
+    if t_end is None:
+        last = jnp.full_like(t_vals[:, :1], _INF_DIST)
+    else:
+        t_end = jnp.broadcast_to(jnp.asarray(t_end, t_vals.dtype),
+                                 (t_vals.shape[0],))
+        last = jnp.maximum(t_end[:, None] - t_vals[:, -1:], 0.0)
     # pad shape must come from t_vals, not dists — at S=1 dists is (R, 0) and
-    # full_like(dists[:, :1]) would silently drop the infinite last interval
-    dists = jnp.concatenate(
-        [dists, jnp.full_like(t_vals[:, :1], _INF_DIST)], axis=-1)  # (R, S)
+    # full_like(dists[:, :1]) would silently drop the last interval
+    dists = jnp.concatenate([dists, last], axis=-1)                # (R, S)
     dists = dists * jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
 
     if raw_noise_std > 0.0:

@@ -1,0 +1,222 @@
+"""Blockwise early-terminated rendering — the sample-work-reduction engine.
+
+The physics (VERDICT r1, BASELINE.json:5): dense 256-eval/ray rendering caps
+at ~650k rays/s on v5e even at perfect MFU; the 10M north star requires NOT
+EVALUATING most samples. XLA cannot express that (static dense dataflow), so
+this pipeline iterates sample-blocks inside one jit: each block runs the
+fused posenc+MLP Pallas kernel with a per-tile ALIVE flag — tiles whose rays
+are all terminated (transmittance < ε) or culled (missed the occupancy box)
+skip their entire MXU workload via scalar predication — and a cheap XLA
+transmittance-carry update runs between blocks. Marching is front-to-back,
+so saturated tiles stop paying for the samples behind the surface; occupancy
+culling (core/occupancy.py) zeroes the cost of background tiles outright and
+concentrates each ray's static budget inside its occupied interval.
+
+Design choice vs a monolithic megakernel: the MLP wants rows-of-features
+layout, the transmittance scan wants rays×samples — fusing them in one
+kernel forces an in-kernel relayout, while the HBM traffic between the two
+stages is ~200 MB/frame ≈ 0.25 ms at v5e bandwidth, i.e. free. The win is
+skipped FLOPs, not avoided traffic, and per-tile predication captures all of
+it. (Long-ray/SP story: the same carry structure is what dist/segmented.py
+rings across chips — SURVEY.md §5.7.)
+
+Eval/render only (deterministic sampling, no σ-noise); training keeps the
+dense differentiable path (train/loop.py). Reference@v1 ships no renderer at
+all (/root/reference/README.md:1-2); the early-termination pattern follows
+NerfAcc (PAPERS.md) re-thought for static shapes.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from fashion_nerf.config import Config
+from fashion_nerf.core.cameras import generate_rays, ndc_rays
+from fashion_nerf.core.occupancy import ray_aabb_intersect
+from fashion_nerf.core.sampling import sample_pdf, stratified_sample
+
+_LOG_FLOOR = -23.025851   # log(1e-10): mirrors core.volrend's cumprod clamp
+_INF_DIST = 1e10
+
+
+def _pad_axis(x, mult: int, axis: int, value=0.0):
+    n = x.shape[axis]
+    pad = (-n) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+def _marched_pass(eval_block, packed, dirpart, rays_o, rays_d, t_vals,
+                  dnorm, alive0, cfg: Config, rpt: int, t_end):
+    """March one field pass over sample blocks with a transmittance carry.
+
+    t_vals: (R, S) ascending. alive0: (R,) bool — rays worth marching (AABB
+    hits). t_end: scalar integration bound, or None for the canonical
+    infinite last interval. Returns the volume_render-shaped dict.
+    """
+    R, S = t_vals.shape
+    SB = cfg.kernels.block_samples
+    eps = cfg.kernels.early_term_eps
+    softplus = cfg.model.sigma_activation == "softplus"
+    n_tiles = R // rpt
+    log_eps = math.log(eps) if eps > 0 else -jnp.inf
+
+    # per-sample intervals, ∞ (or t_end) on the last — precomputed so block
+    # padding can carry zero-width sentinels (α = 0 regardless of σ)
+    if t_end is None:
+        last = jnp.full((R, 1), _INF_DIST, t_vals.dtype)
+    else:
+        last = jnp.maximum(t_end - t_vals[:, -1:], 0.0)
+    dists = jnp.concatenate([t_vals[:, 1:] - t_vals[:, :-1], last], axis=1)
+    dists = dists * dnorm
+
+    t_pad = _pad_axis(t_vals, SB, 1, value=0.0)
+    d_pad = _pad_axis(dists, SB, 1, value=0.0)      # sentinel: zero width
+    NB = t_pad.shape[1] // SB
+
+    acc_rgb = jnp.zeros((R, 3), jnp.float32)
+    depth = jnp.zeros((R,), jnp.float32)
+    acc = jnp.zeros((R,), jnp.float32)
+    log_T = jnp.zeros((R,), jnp.float32)
+    w_blocks, alive_fracs = [], []
+
+    for b in range(NB):     # static unroll: NB is 2-8 at production shapes
+        with jax.named_scope(f"block_{b}"):
+            alive_ray = alive0 & (log_T > log_eps)
+            alive_tile = jnp.max(
+                alive_ray.reshape(n_tiles, rpt).astype(jnp.float32),
+                axis=1, keepdims=True)                       # (n_tiles, 1)
+            t_b = jax.lax.dynamic_slice_in_dim(t_pad, b * SB, SB, 1)
+            d_b = jax.lax.dynamic_slice_in_dim(d_pad, b * SB, SB, 1)
+            pts_b = rays_o[:, None, :] + rays_d[:, None, :] * t_b[..., None]
+            rgb_b, sigma_b = eval_block(packed, dirpart, pts_b, alive_tile)
+
+            density = (jax.nn.softplus(sigma_b) if softplus
+                       else jnp.maximum(sigma_b, 0.0))
+            x = density * d_b
+            log_om = jnp.maximum(-x, _LOG_FLOOR)             # log(1-α)
+            csum = jnp.cumsum(log_om, axis=1)
+            log_T_in = log_T[:, None] + jnp.concatenate(
+                [jnp.zeros((R, 1), jnp.float32), csum[:, :-1]], axis=1)
+            alpha = 1.0 - jnp.exp(-x)
+            w_b = alpha * jnp.exp(log_T_in)                  # (R, SB)
+            acc_rgb += jnp.sum(w_b[..., None] * rgb_b, axis=1)
+            depth += jnp.sum(w_b * t_b, axis=1)
+            acc += jnp.sum(w_b, axis=1)
+            w_blocks.append(w_b)
+            alive_fracs.append(jnp.mean(alive_tile))
+            log_T = log_T + csum[:, -1]
+
+    weights = jnp.concatenate(w_blocks, axis=1)[:, :S]
+    if cfg.render.white_bkgd:
+        acc_rgb = acc_rgb + (1.0 - acc[:, None])
+    disp = 1.0 / jnp.maximum(1e-10, depth / jnp.maximum(acc, 1e-10))
+    return {"rgb": acc_rgb, "depth": depth, "acc": acc,
+            "weights": weights, "disp": disp,
+            # fraction of (tile, block) field launches actually executed —
+            # the skip diagnostic (1.0 = dense; bench reports it)
+            "alive_frac": jnp.mean(jnp.stack(alive_fracs))}
+
+
+def render_rays_blockwise(params, cfg: Config, rays_o, rays_d, viewdirs,
+                          occ=None):
+    """Coarse+fine hierarchical render of (R,) rays, eval-mode, blockwise.
+
+    Numerically equivalent to render/renderer.render_rays(train=False) up to
+    the termination threshold ε (exact at ε=0) — tested in
+    tests/kernels/test_blockwise.py. R must be a multiple of the ray tile
+    (callers pad; render_image_blockwise does). Conditioned models are not
+    routed here (the fused kernel falls back to XLA for cond inputs)."""
+    from fashion_nerf.kernels.posenc_mlp_pallas import make_block_evaluator
+
+    scfg, rcfg = cfg.sampling, cfg.render
+    R = rays_o.shape[0]
+    pack, hoist_dirs, eval_block, rays_per_tile = make_block_evaluator(cfg)
+    rpt = rays_per_tile(cfg.kernels.block_samples)
+    assert R % rpt == 0, (R, rpt)
+
+    packed_c = pack(params["coarse"])
+    packed_f = pack(params["fine"]) if scfg.n_fine > 0 else None
+    dirpart_c = hoist_dirs(packed_c, viewdirs)
+
+    near, far, hit = rcfg.near, rcfg.far, None
+    t_end = None
+    if occ is not None:
+        near, far, hit = ray_aabb_intersect(
+            rays_o, rays_d, occ.box_min, occ.box_max, rcfg.near, rcfg.far)
+        t_end = rcfg.far          # σ beyond the box ≤ grid threshold
+    alive0 = hit if hit is not None else jnp.ones((R,), bool)
+    dnorm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+
+    key = jax.random.PRNGKey(0)   # unused: eval-mode deterministic sampling
+    t_c = stratified_sample(key, near, far, R, scfg.n_coarse,
+                            perturb=False, lindisp=scfg.lindisp)
+    out_c = _marched_pass(eval_block, packed_c, dirpart_c, rays_o, rays_d,
+                          t_c, dnorm, alive0, cfg, rpt, t_end)
+
+    if scfg.n_fine <= 0:
+        return {"coarse": out_c, "fine": None}
+
+    t_mid = 0.5 * (t_c[:, 1:] + t_c[:, :-1])
+    w_mid = out_c["weights"][:, 1:-1]
+    t_f = sample_pdf(key, t_mid, w_mid, scfg.n_fine, det=True)
+    t_all = jnp.sort(jnp.concatenate([t_c, t_f], axis=-1), axis=-1)
+
+    dirpart_f = hoist_dirs(packed_f, viewdirs)
+    out_f = _marched_pass(eval_block, packed_f, dirpart_f, rays_o, rays_d,
+                          t_all, dnorm, alive0, cfg, rpt, t_end)
+    return {"coarse": out_c, "fine": out_f}
+
+
+def render_image_blockwise(params, cfg: Config, H: int, W: int, focal, c2w,
+                           occ=None):
+    """Whole-image blockwise render under ONE jit — the production render
+    path when cfg.kernels.use_pallas & blockwise (bench.py headline). Mirrors
+    renderer.render_image's pad/chunk/unchunk contract."""
+    rays_o, rays_d = generate_rays(H, W, focal, c2w)
+    rays_o = rays_o.reshape(-1, 3)
+    rays_d = rays_d.reshape(-1, 3)
+    viewdirs = rays_d
+    if cfg.render.ndc:
+        rays_o, rays_d = ndc_rays(H, W, focal, 1.0, rays_o, rays_d)
+    n = rays_o.shape[0]
+
+    from fashion_nerf.kernels.posenc_mlp_pallas import make_block_evaluator
+    _, _, _, rays_per_tile = make_block_evaluator(cfg)
+    rpt = rays_per_tile(cfg.kernels.block_samples)
+    chunk = max(rpt, (min(cfg.render.chunk, n) // rpt) * rpt)
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+
+    def _pad_rays(x, unit_fill: bool):
+        if pad == 0:
+            return x.reshape(n_chunks, chunk, 3)
+        fill = jnp.zeros((pad, 3), x.dtype)
+        if unit_fill:     # zero dirs NaN under --sanitize (renderer.py)
+            fill = fill.at[:, 2].set(-1.0)
+        return jnp.concatenate([x, fill], 0).reshape(n_chunks, chunk, 3)
+
+    ro = _pad_rays(rays_o, unit_fill=False)
+    rd = _pad_rays(rays_d, unit_fill=True)
+    vd = _pad_rays(viewdirs, unit_fill=True)
+
+    def render_chunk(args):
+        o, d, v = args
+        out = render_rays_blockwise(params, cfg, o, d, v, occ=occ)
+        head = out["fine"] if out["fine"] is not None else out["coarse"]
+        return {k: head[k] for k in ("rgb", "depth", "acc", "disp")}
+
+    out = jax.lax.map(render_chunk, (ro, rd, vd))
+
+    def unchunk(x):
+        flat = x.reshape((n_chunks * chunk,) + x.shape[2:])[:n]
+        return flat.reshape((H, W) + x.shape[2:])
+
+    return {k: unchunk(v) for k, v in out.items()}

@@ -23,7 +23,7 @@ from fashion_nerf.core.volrend import volume_render
 
 def render_rays(field_coarse: Callable, field_fine: Optional[Callable],
                 rays_o, rays_d, key, cfg: Config, train: bool,
-                cond=None, use_pallas_render: bool = False):
+                cond=None, use_pallas_render: bool = False, occ=None):
     """Render a batch of rays.
 
     Args:
@@ -34,6 +34,10 @@ def render_rays(field_coarse: Callable, field_fine: Optional[Callable],
       cfg: full Config (static under jit).
       train: stratified jitter + σ-noise on; eval is fully deterministic.
       cond: optional (R, Cc) conditioning features.
+      occ: optional core.occupancy.OccupancyState — concentrates the whole
+        static sample budget inside each ray's occupied interval and
+        composites box-missing rays straight to background (the sample-work
+        reduction mandated by BASELINE.json:5's throughput target).
 
     Returns {"coarse": {...}, "fine": {...}|None}; each inner dict is a
     volume_render output.
@@ -42,16 +46,36 @@ def render_rays(field_coarse: Callable, field_fine: Optional[Callable],
     scfg, rcfg = cfg.sampling, cfg.render
     k_strat, k_pdf, k_noise_c, k_noise_f = jax.random.split(key, 4)
 
-    if use_pallas_render:
+    if use_pallas_render and occ is None:
         from fashion_nerf.kernels.render_pallas import fused_render_rays as _vr
         vr = functools.partial(_vr, interpret=cfg.kernels.interpret)
     else:
+        # the culled path needs volume_render's finite t_end (the standalone
+        # fused-volrend kernel keeps canonical ∞-last-interval semantics; the
+        # Pallas home of culling + early termination is the megakernel)
         vr = volume_render
+
+    near, far, hit = rcfg.near, rcfg.far, None
+    if occ is not None:
+        from fashion_nerf.core.occupancy import ray_aabb_intersect
+        with jax.named_scope("aabb_cull"):
+            near, far, hit = ray_aabb_intersect(
+                rays_o, rays_d, occ.box_min, occ.box_max,
+                rcfg.near, rcfg.far)
+        # finite integration bound: σ beyond the box is ≤ the grid threshold
+        # by construction, so absorb over the true leftover, not ∞
+        vr = functools.partial(vr, t_end=rcfg.far)
+
+    def _cull(out):
+        if hit is None:
+            return out
+        from fashion_nerf.core.occupancy import cull_background
+        return cull_background(out, hit, rcfg.white_bkgd)
 
     # jax.profiler.annotate_* names make each stage attributable in traces
     # (SURVEY.md §5.1); they are no-ops outside a profiling session
     with jax.named_scope("stratified_sample"):
-        t_c = stratified_sample(k_strat, rcfg.near, rcfg.far, R,
+        t_c = stratified_sample(k_strat, near, far, R,
                                 scfg.n_coarse,
                                 perturb=train and scfg.perturb,
                                 lindisp=scfg.lindisp)
@@ -63,6 +87,7 @@ def render_rays(field_coarse: Callable, field_fine: Optional[Callable],
         out_c = vr(rgb_c, sigma_c, t_c, rays_d, white_bkgd=rcfg.white_bkgd,
                    raw_noise_std=noise, key=k_noise_c,
                    sigma_activation=cfg.model.sigma_activation)
+    out_c = _cull(out_c)
 
     if scfg.n_fine <= 0 or field_fine is None:
         return {"coarse": out_c, "fine": None}
@@ -89,7 +114,7 @@ def render_rays(field_coarse: Callable, field_fine: Optional[Callable],
                    white_bkgd=rcfg.white_bkgd,
                    raw_noise_std=noise, key=k_noise_f,
                    sigma_activation=cfg.model.sigma_activation)
-    return {"coarse": out_c, "fine": out_f}
+    return {"coarse": out_c, "fine": _cull(out_f)}
 
 
 def _rays_for_pose(H: int, W: int, focal, c2w, cfg: Config):
@@ -104,7 +129,7 @@ def _rays_for_pose(H: int, W: int, focal, c2w, cfg: Config):
 
 def render_image(field_coarse, field_fine, H: int, W: int, focal, c2w,
                  cfg: Config, key=None, cond=None,
-                 use_pallas_render: bool = False, mesh=None):
+                 use_pallas_render: bool = False, mesh=None, occ=None):
     """Render a full H×W image under ONE jit: rays are padded to a multiple
     of cfg.render.chunk and mapped with lax.map, bounding device memory while
     keeping the host out of the loop.
@@ -155,7 +180,7 @@ def render_image(field_coarse, field_fine, H: int, W: int, focal, c2w,
                 return field_fine(pts, v, cnd)
         return render_rays(fc, ff, o, d, key, cfg, train=False,
                            cond=cond_chunk,
-                           use_pallas_render=use_pallas_render)
+                           use_pallas_render=use_pallas_render, occ=occ)
 
     if mesh is None:
         out = jax.lax.map(render_chunk, (ro, rd, vd))
@@ -183,13 +208,15 @@ def render_image(field_coarse, field_fine, H: int, W: int, focal, c2w,
 
 
 def render_path(field_coarse, field_fine, poses, H: int, W: int, focal,
-                cfg: Config, cond=None, use_pallas_render: bool = False):
+                cfg: Config, cond=None, use_pallas_render: bool = False,
+                occ=None):
     """Render a camera path (test poses / spiral / rotation video,
     BASELINE.json:11). Host loop over poses; the per-image renderer is jitted
     ONCE (c2w is the only traced argument) so frames reuse the executable."""
     def _render(c2w):
         return render_image(field_coarse, field_fine, H, W, focal, c2w, cfg,
-                            cond=cond, use_pallas_render=use_pallas_render)
+                            cond=cond, use_pallas_render=use_pallas_render,
+                            occ=occ)
     render = jax.jit(_render)
     frames = [render(jnp.asarray(c2w))["rgb"] for c2w in poses]
     return jnp.stack(frames)

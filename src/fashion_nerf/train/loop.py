@@ -80,7 +80,13 @@ def make_train_step(cfg: Config, dataset: RayDataset, mesh=None,
         if use_fine:
             loss_f = jnp.mean((out["fine"]["rgb"] - batch["rgb"]) ** 2)
             loss = loss_c + loss_f
-        return loss, {"mse_coarse": loss_c, "mse_fine": loss_f}
+        aux = {"mse_coarse": loss_c, "mse_fine": loss_f}
+        if cfg.train.sparsity_weight > 0.0:
+            loss_sp = _sparsity_loss(cfg, params, field_c, field_f,
+                                     jax.random.fold_in(key, 17), cond)
+            loss = loss + cfg.train.sparsity_weight * loss_sp
+            aux["sparsity"] = loss_sp
+        return loss, aux
 
     def train_step(state: TrainState, all_rays: dict):
         key, k_idx, k_render = jax.random.split(state.key, 3)
@@ -110,6 +116,32 @@ def make_train_step(cfg: Config, dataset: RayDataset, mesh=None,
         return new_state, metrics
 
     return jax.jit(train_step, donate_argnums=(0,))
+
+
+def _sparsity_loss(cfg: Config, params, field_c, field_f, key, cond):
+    """Cauchy density prior log(1 + σ²/2) at uniform world points (the
+    occupancy scan box). Saturates for solid interiors (penalizes existence,
+    not magnitude) while unobserved floaters — which see no reconstruction
+    gradient at all — decay to zero, keeping core/occupancy.py's grid tight.
+    Applied to both nets so the coarse PDF stays consistent with the fine
+    field it steers."""
+    n = cfg.train.sparsity_points
+    pts = jax.random.uniform(
+        key, (n, 1, 3), minval=cfg.occupancy.world_min,
+        maxval=cfg.occupancy.world_max)
+    dirs = jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0]), (n, 3))
+    cond_pt = None
+    if cond is not None:
+        cond_pt = jnp.broadcast_to(cond[:1], (n, cond.shape[-1]))
+    act = (jax.nn.softplus if cfg.model.sigma_activation == "softplus"
+           else jax.nn.relu)
+    total = 0.0
+    for params_k, field in (("coarse", field_c), ("fine", field_f)):
+        if field is None or params_k not in params:
+            continue
+        _, sigma_raw = field(params[params_k], pts, dirs, cond_pt)
+        total = total + jnp.mean(jnp.log1p(0.5 * act(sigma_raw) ** 2))
+    return total
 
 
 def _with_viewdirs(field):

@@ -1,0 +1,201 @@
+"""Occupancy culling (core/occupancy.py): slab test, grid→AABB reduction,
+and end-to-end equivalence of the culled render path against the dense path
+on an analytic field (SURVEY.md §4.1/4.2 — no reference code exists to diff
+against, README.md:1-2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fashion_nerf.config import load_config
+from fashion_nerf.core.occupancy import (
+    build_occupancy, build_from_config, cull_background, ray_aabb_intersect)
+from fashion_nerf.metrics import psnr
+from fashion_nerf.render.renderer import render_rays
+
+
+def _sphere_field(center=(0.0, 0.0, 0.0), radius=0.8, dens=50.0):
+    """Analytic soft-sphere field in the repo-wide field convention:
+    (pts (R,S,3), viewdirs (R,3), cond) → (rgb post-sigmoid, σ raw ≥ 0)."""
+    c = jnp.asarray(center)
+
+    def field(pts, viewdirs, cond):
+        d = jnp.linalg.norm(pts - c, axis=-1)
+        sigma = dens * jax.nn.sigmoid(-25.0 * (d - radius))
+        rgb = jnp.broadcast_to(jnp.array([0.8, 0.3, 0.2]),
+                               pts.shape[:-1] + (3,))
+        return rgb, sigma
+    return field
+
+
+class TestRayAABB:
+    def test_through_center(self):
+        o = jnp.array([[0.0, 0.0, 4.0]])
+        d = jnp.array([[0.0, 0.0, -1.0]])
+        lo, hi, hit = ray_aabb_intersect(o, d, jnp.array([-1.0, -1.0, -1.0]),
+                                         jnp.array([1.0, 1.0, 1.0]), 2.0, 6.0)
+        assert bool(hit[0])
+        np.testing.assert_allclose(lo[0], 3.0, atol=1e-5)
+        np.testing.assert_allclose(hi[0], 5.0, atol=1e-5)
+
+    def test_miss_gets_degenerate_far_range(self):
+        o = jnp.array([[0.0, 3.0, 4.0]])          # offset above the box
+        d = jnp.array([[0.0, 0.0, -1.0]])
+        lo, hi, hit = ray_aabb_intersect(o, d, jnp.array([-1.0, -1.0, -1.0]),
+                                         jnp.array([1.0, 1.0, 1.0]), 2.0, 6.0)
+        assert not bool(hit[0])
+        assert float(lo[0]) == float(hi[0]) == 6.0
+
+    def test_origin_inside_box(self):
+        o = jnp.array([[0.0, 0.0, 0.0]])
+        d = jnp.array([[0.0, 0.0, -1.0]])
+        lo, hi, hit = ray_aabb_intersect(o, d, jnp.array([-1.0, -1.0, -1.0]),
+                                         jnp.array([1.0, 1.0, 1.0]), 0.1, 6.0)
+        assert bool(hit[0])
+        np.testing.assert_allclose(lo[0], 0.1, atol=1e-5)  # clipped to near
+        np.testing.assert_allclose(hi[0], 1.0, atol=1e-5)
+
+    def test_axis_parallel_direction(self):
+        # d has exact zeros — the slab test must not produce NaNs
+        o = jnp.array([[0.5, 0.5, 4.0], [2.5, 0.5, 4.0]])
+        d = jnp.array([[0.0, 0.0, -1.0], [0.0, 0.0, -1.0]])
+        lo, hi, hit = ray_aabb_intersect(o, d, jnp.array([-1.0, -1.0, -1.0]),
+                                         jnp.array([1.0, 1.0, 1.0]), 2.0, 6.0)
+        assert bool(hit[0]) and not bool(hit[1])
+        assert np.isfinite(np.asarray(lo)).all()
+
+    def test_clip_behind_far(self):
+        # box entirely beyond far → miss
+        o = jnp.array([[0.0, 0.0, 10.0]])
+        d = jnp.array([[0.0, 0.0, -1.0]])
+        lo, hi, hit = ray_aabb_intersect(o, d, jnp.array([-1.0, -1.0, -1.0]),
+                                         jnp.array([1.0, 1.0, 1.0]), 2.0, 6.0)
+        assert not bool(hit[0])
+
+    def test_matches_brute_force(self):
+        key = jax.random.PRNGKey(0)
+        o = jax.random.uniform(key, (64, 3), minval=-3, maxval=3)
+        d = jax.random.normal(jax.random.fold_in(key, 1), (64, 3))
+        bmin = jnp.array([-0.7, -1.1, -0.4])
+        bmax = jnp.array([0.9, 0.3, 1.2])
+        lo, hi, hit = ray_aabb_intersect(o, d, bmin, bmax, 0.5, 8.0)
+        # brute force: dense t sweep, inside-box test
+        t = jnp.linspace(0.5, 8.0, 4097)
+        pts = o[:, None, :] + d[:, None, :] * t[None, :, None]
+        inside = jnp.all((pts >= bmin) & (pts <= bmax), axis=-1)  # (R, T)
+        bf_hit = jnp.any(inside, axis=-1)
+        np.testing.assert_array_equal(np.asarray(hit), np.asarray(bf_hit))
+        t_in = jnp.where(inside, t[None, :], jnp.inf).min(-1)
+        t_out = jnp.where(inside, t[None, :], -jnp.inf).max(-1)
+        tol = float(t[1] - t[0]) * 1.5
+        np.testing.assert_allclose(np.asarray(lo)[np.asarray(hit)],
+                                   np.asarray(t_in)[np.asarray(bf_hit)],
+                                   atol=tol)
+        np.testing.assert_allclose(np.asarray(hi)[np.asarray(hit)],
+                                   np.asarray(t_out)[np.asarray(bf_hit)],
+                                   atol=tol)
+
+
+class TestBuildOccupancy:
+    def test_sphere_aabb_tight(self):
+        field = _sphere_field(center=(0.2, -0.1, 0.3), radius=0.6)
+        occ = build_occupancy(field, -2.0, 2.0, resolution=32,
+                              sigma_threshold=1e-2)
+        cell = 4.0 / 32
+        # the soft sphere's density tail crosses the 1e-2 threshold at
+        # r_eff = r + ln(dens/thresh)/25 (σ = dens·sigmoid(-25(d-r)))
+        r_eff = 0.6 + np.log(50.0 / 1e-2) / 25.0
+        # box must contain the sphere and track r_eff to ~2 cells + margin
+        for d, c in enumerate([0.2, -0.1, 0.3]):
+            assert float(occ.box_min[d]) <= c - 0.6
+            assert float(occ.box_max[d]) >= c + 0.6
+            assert float(occ.box_min[d]) >= c - r_eff - 3 * cell
+            assert float(occ.box_max[d]) <= c + r_eff + 3 * cell
+
+    def test_empty_grid_falls_back_to_world(self):
+        def empty_field(pts, viewdirs, cond):
+            return jnp.ones(pts.shape[:-1] + (3,)), \
+                jnp.full(pts.shape[:-1], -10.0)
+        occ = build_occupancy(empty_field, -2.0, 2.0, resolution=16)
+        assert not bool(jnp.any(occ.grid))
+        np.testing.assert_allclose(occ.box_min, -2.0)
+        np.testing.assert_allclose(occ.box_max, 2.0)
+
+    def test_jittable(self):
+        field = _sphere_field()
+        occ = jax.jit(lambda: build_occupancy(field, -2.0, 2.0,
+                                              resolution=16))()
+        assert occ.grid.shape == (16, 16, 16)
+
+
+class TestCulledRenderEquivalence:
+    """Culled vs dense render of the same analytic field: the quality gate
+    for the sample-work reduction (VERDICT r1 #2: PSNR delta < 0.1 dB)."""
+
+    def _render(self, occ, n_coarse=32, n_fine=64):
+        cfg = load_config("blender_lego", [
+            f"sampling.n_coarse={n_coarse}", f"sampling.n_fine={n_fine}",
+            "model.compute_dtype=float32",
+        ])
+        field = _sphere_field(radius=0.7)
+        key = jax.random.PRNGKey(3)
+        # mixed hit/miss ray fan from a blender-style camera at z=4
+        R = 256
+        ang = jnp.linspace(-0.45, 0.45, R)
+        rays_o = jnp.broadcast_to(jnp.array([0.0, 0.0, 4.0]), (R, 3))
+        rays_d = jnp.stack([jnp.sin(ang), jnp.zeros_like(ang),
+                            -jnp.cos(ang)], -1)
+        out = render_rays(field, field, rays_o, rays_d, key, cfg,
+                          train=False, occ=occ)
+        return out["fine"]
+
+    def test_psnr_delta_tiny(self):
+        field = _sphere_field(radius=0.7)
+        occ = build_occupancy(field, -2.0, 2.0, resolution=32)
+        dense = self._render(None)
+        culled = self._render(occ)
+        # both hit rays (resampled inside the box) and miss rays (culled to
+        # exact background) must agree with the dense render
+        delta = psnr(culled["rgb"], dense["rgb"])
+        assert float(delta) > 40.0, f"culled vs dense PSNR {delta:.1f} dB"
+        # miss rays are exactly background (white_bkgd=True in this preset)
+        _, _, hit = ray_aabb_intersect(
+            jnp.broadcast_to(jnp.array([0.0, 0.0, 4.0]), (256, 3)),
+            jnp.stack([jnp.sin(jnp.linspace(-0.45, 0.45, 256)),
+                       jnp.zeros(256),
+                       -jnp.cos(jnp.linspace(-0.45, 0.45, 256))], -1),
+            occ.box_min, occ.box_max, 2.0, 6.0)
+        miss = ~np.asarray(hit)
+        assert miss.any() and (~miss).any(), "need both hit and miss rays"
+        np.testing.assert_allclose(np.asarray(culled["rgb"])[miss], 1.0)
+        np.testing.assert_allclose(np.asarray(culled["acc"])[miss], 0.0)
+
+    def test_fewer_samples_in_tight_range_match_dense_budget(self):
+        """The point of culling: 32+64 samples inside the tight interval
+        reproduce the 64+128 dense-range render."""
+        field = _sphere_field(radius=0.7)
+        occ = build_occupancy(field, -2.0, 2.0, resolution=32)
+        dense_big = self._render(None, n_coarse=64, n_fine=128)
+        culled_small = self._render(occ, n_coarse=32, n_fine=64)
+        delta = psnr(culled_small["rgb"], dense_big["rgb"])
+        assert float(delta) > 40.0, f"PSNR {float(delta):.1f} dB"
+
+
+def test_cull_background_overwrites_misses():
+    out = {"rgb": jnp.full((4, 3), 0.5), "depth": jnp.ones(4),
+           "acc": jnp.full((4,), 0.9), "weights": jnp.full((4, 8), 0.1),
+           "disp": jnp.ones(4)}
+    hit = jnp.array([True, False, True, False])
+    culled = cull_background(out, hit, white_bkgd=True)
+    np.testing.assert_allclose(culled["rgb"][1], 1.0)
+    np.testing.assert_allclose(culled["rgb"][0], 0.5)
+    np.testing.assert_allclose(culled["acc"][3], 0.0)
+    np.testing.assert_allclose(culled["weights"][1], 0.0)
+
+
+def test_build_from_config_uses_cfg_fields():
+    cfg = load_config("blender_lego", ["occupancy.resolution=16",
+                                       "occupancy.enabled=true"])
+    occ = build_from_config(cfg, _sphere_field())
+    assert occ.grid.shape == (16, 16, 16)
