@@ -72,7 +72,6 @@ class KernelConfig:
     use_pallas: bool = False
     fused_mlp: bool = True        # kernels/posenc_mlp_pallas
     fused_render: bool = True     # kernels/render_pallas
-    fused_resample: bool = True   # kernels/resample_pallas
     mlp_dtype: str = "bfloat16"   # matmul input dtype inside fused MLP (accum f32)
     interpret: bool = False       # run Pallas in interpreter mode (CPU debugging)
     # blockwise early-terminated render pipeline (render/blockwise.py):

@@ -149,8 +149,18 @@ def pack_params(params, mcfg: ModelConfig):
 # kernel body
 # --------------------------------------------------------------------------
 
+_ACCUM_DTYPE = "float32"   # trunk matmul output dtype: "bfloat16" halves MXU
+                           # output traffic + skips the relu-side casts
+                           # (heads always accumulate f32 — quality path);
+                           # module-level so scripts/kernel_bench.py can sweep
+
+
 def _mm(a, w):
     return jnp.dot(a, w, preferred_element_type=jnp.float32)
+
+
+def _mm_trunk(a, w):
+    return jnp.dot(a, w, preferred_element_type=jnp.dtype(_ACCUM_DTYPE))
 
 
 def _mm_f32(a, w):
@@ -191,17 +201,18 @@ def _field_kernel(plan, L, alive_ref, pts_ref, dirpart_ref, fmat_ref,
             if tag == "first":
                 Wx, Wsc = next(it), next(it)
                 b = next(it)
-                acc = _mm(x_bf, Wx) + _mm(SnCs, Wsc)
+                acc = _mm_trunk(x_bf, Wx) + _mm_trunk(SnCs, Wsc)
             elif tag == "skip":
                 Wh = next(it)
                 Wx, Wsc = next(it), next(it)
                 b = next(it)
-                acc = _mm(h, Wh) + _mm(x_bf, Wx) + _mm(SnCs, Wsc)
+                acc = _mm_trunk(h, Wh) + _mm_trunk(x_bf, Wx) \
+                    + _mm_trunk(SnCs, Wsc)
             else:
                 Wh = next(it)
                 b = next(it)
-                acc = _mm(h, Wh)
-            h = jnp.maximum(acc + b, 0.0).astype(bf)
+                acc = _mm_trunk(h, Wh)
+            h = jnp.maximum(acc + b.astype(acc.dtype), 0.0).astype(bf)
 
         if plan[-1] == "heads_vd":
             w_sig, b_sig = next(it), next(it)
