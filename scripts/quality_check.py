@@ -27,7 +27,7 @@ def main():
 
     from fashion_nerf.assets import load_flagship
     from fashion_nerf.config import load_config
-    from fashion_nerf.core.occupancy import build_from_config
+    from fashion_nerf.core.occupancy import build_jit
     from fashion_nerf.metrics import psnr
     from fashion_nerf.render.renderer import render_image
     from fashion_nerf.train.loop import make_fields
@@ -43,6 +43,8 @@ def main():
     # analytic GT in row strips — a whole-image 800×800×512-sample pts array
     # is ~4 GB and thrashes the host
     from fashion_nerf.data.synthetic import field_np
+    scene_scale = float(meta.get("scene_scale", 1.0))
+    scene_sharp = float(meta.get("scene_sharp", 25.0))
 
     def strip_view(y0, n_rows, n_samples=512, near=2.0, far=6.0):
         i, j = np.meshgrid(np.arange(W, dtype=np.float32),
@@ -54,7 +56,7 @@ def main():
         rays_o = np.broadcast_to(c2w[:3, -1], rays_d.shape)
         t = np.linspace(near, far, n_samples, dtype=np.float32)
         pts = rays_o[..., None, :] + rays_d[..., None, :] * t[:, None]
-        rgb, sigma = field_np(pts)
+        rgb, sigma = field_np(pts, scale=scene_scale, sharp=scene_sharp)
         delta = (far - near) / (n_samples - 1) * np.linalg.norm(
             rays_d, axis=-1, keepdims=True)
         alpha = 1.0 - np.exp(-sigma * delta)
@@ -67,29 +69,39 @@ def main():
 
     gt = np.concatenate([strip_view(y0, 50) for y0 in range(0, H, 50)], 0)
 
-    def render(n_coarse, n_fine, occ_on):
+    def render(n_coarse, n_fine, occ_on, blockwise=False):
         cfg = load_config("blender_lego", [
             f"sampling.n_coarse={n_coarse}", f"sampling.n_fine={n_fine}",
-            "occupancy.enabled=true"])
+            "occupancy.enabled=true"] + (
+            ["kernels.use_pallas=true"] if blockwise else []))
         field_c, field_f = make_fields(cfg)
         fc = functools.partial(field_c, params["coarse"])
         ff = functools.partial(field_f, params["fine"])
-        occ = (jax.jit(lambda: build_from_config(cfg, ff))()
+        occ = (build_jit(cfg, field_f, params["fine"])
                if occ_on else None)
-        img = jax.jit(lambda pose: render_image(
-            fc, ff, H, W, focal, pose, cfg, occ=occ)["rgb"])(jnp.asarray(c2w))
+        if blockwise:
+            from fashion_nerf.render.blockwise import render_image_blockwise
+            img = jax.jit(lambda pose: render_image_blockwise(
+                params, cfg, H, W, focal, pose, occ=occ)["rgb"])(
+                    jnp.asarray(c2w))
+        else:
+            img = jax.jit(lambda pose: render_image(
+                fc, ff, H, W, focal, pose, cfg, occ=occ)["rgb"])(
+                    jnp.asarray(c2w))
         float(img[0, 0, 0])   # sync through the tunnel
         return np.asarray(img)
 
     dense = render(64, 128, occ_on=False)
     culled = render(64, 128, occ_on=True)
     fast = render(32, 64, occ_on=True)
+    bw = render(64, 128, occ_on=True, blockwise=True)
 
     gt_j = jnp.asarray(gt)
     rows = [
         ("dense 64+128", dense),
         ("culled 64+128", culled),
         ("fast (culled 32+64)", fast),
+        ("blockwise 64+128 eps1e-4", bw),
     ]
     print(f"\n{'path':24s} {'PSNR vs GT':>12s} {'PSNR vs dense':>14s}")
     for name, img in rows:
@@ -99,7 +111,9 @@ def main():
         print(f"{name:24s} {vs_gt:12.2f} {vs_dense:14.2f}")
     d_gt = float(psnr(jnp.asarray(dense), gt_j))
     f_gt = float(psnr(jnp.asarray(fast), gt_j))
-    print(f"\nPSNR-vs-GT delta (fast - dense): {f_gt - d_gt:+.3f} dB "
+    b_gt = float(psnr(jnp.asarray(bw), gt_j))
+    print(f"\nPSNR-vs-GT delta (fast - dense):      {f_gt - d_gt:+.3f} dB")
+    print(f"PSNR-vs-GT delta (blockwise - dense): {b_gt - d_gt:+.3f} dB "
           f"(gate: > -0.1 dB)")
 
 

@@ -59,9 +59,12 @@ def run_bench(cfg: Config, H: int = 800, W: int = 800, warmup: int = 1,
     occ = None
     if cfg.occupancy.enabled and trained:
         # one-time lattice sweep against the trained fine field (the culling
-        # oracle must be the same net the renderer evaluates)
-        from fashion_nerf.core.occupancy import build_from_config
-        occ = jax.jit(lambda: build_from_config(cfg, ff or fc))()
+        # oracle must be the same net the renderer evaluates); params traced,
+        # not constant-folded (see occupancy.build_jit)
+        from fashion_nerf.core.occupancy import build_jit
+        occ = (build_jit(cfg, field_f, params["fine"])
+               if cfg.sampling.n_fine > 0
+               else build_jit(cfg, field_c, params["coarse"]))
 
     blockwise = (cfg.kernels.use_pallas and cfg.kernels.blockwise
                  and cfg.kernels.fused_mlp)

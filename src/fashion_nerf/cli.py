@@ -103,15 +103,16 @@ def _restored_state(cfg):
     return ckpt_lib.restore(ckpt_dir, tmpl)
 
 
-def _maybe_occ(cfg, field):
+def _maybe_occ(cfg, field, params):
     """Occupancy culling state for a restored model (core/occupancy.py) —
     the render/eval CLIs cull whenever the config enables it (training never
-    builds one: the grid is only meaningful on trained weights)."""
+    builds one: the grid is only meaningful on trained weights). `field` is
+    unbound; params are traced through the build jit, never constant-folded
+    (occupancy.build_jit)."""
     if not cfg.occupancy.enabled or field is None:
         return None
-    import jax
-    from fashion_nerf.core.occupancy import build_from_config
-    return jax.jit(lambda: build_from_config(cfg, field))()
+    from fashion_nerf.core.occupancy import build_jit
+    return build_jit(cfg, field, params)
 
 
 def _cmd_render(cfg, args):
@@ -128,7 +129,9 @@ def _cmd_render(cfg, args):
     fc = functools.partial(field_c, state.params["coarse"])
     ff = (functools.partial(field_f, state.params["fine"])
           if cfg.sampling.n_fine > 0 else None)
-    occ = _maybe_occ(cfg, ff or fc)
+    occ = (_maybe_occ(cfg, field_f, state.params["fine"])
+           if ff is not None else
+           _maybe_occ(cfg, field_c, state.params["coarse"]))
     poses = d.get("render_poses", d["poses"])
     from fashion_nerf.train.loop import resolve_garment
     garment = resolve_garment(cfg, d, d["H"], d["W"])
@@ -182,7 +185,9 @@ def _eval_scores(cfg):
           if cfg.sampling.n_fine > 0 else None)
     cond = _eval_cond(cfg, state.params,
                       resolve_garment(cfg, d, d["H"], d["W"]))
-    occ = _maybe_occ(cfg, ff or fc)
+    occ = (_maybe_occ(cfg, field_f, state.params["fine"])
+           if ff is not None else
+           _maybe_occ(cfg, field_c, state.params["coarse"]))
     test_images = d.get("test_images", d["val_image"][None])
     test_poses = d.get("test_poses", np.asarray(d["val_pose"])[None])
     scores = []

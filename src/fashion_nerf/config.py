@@ -73,6 +73,9 @@ class KernelConfig:
     fused_mlp: bool = True        # kernels/posenc_mlp_pallas
     fused_render: bool = True     # kernels/render_pallas
     mlp_dtype: str = "bfloat16"   # matmul input dtype inside fused MLP (accum f32)
+    # fused Pallas VJP: in-kernel forward recompute + dgrad/wgrad in VMEM
+    # (without it the custom VJP recomputes through XLA, ~30% inside grad)
+    fused_backward: bool = True
     interpret: bool = False       # run Pallas in interpreter mode (CPU debugging)
     # blockwise early-terminated render pipeline (render/blockwise.py):
     # sample-blocks of the fused field with per-tile transmittance skipping
@@ -164,11 +167,14 @@ _register(Config(
     model=ModelConfig(compute_dtype="bfloat16"),
     sampling=SamplingConfig(n_coarse=64, n_fine=128, raw_noise_std=0.0),
     render=RenderConfig(near=2.0, far=6.0, white_bkgd=True, chunk=32768),
-    # Pallas kernels are opt-in (--set kernels.use_pallas=true): measured on
-    # v5e, the XLA bf16 path renders faster today (2.37 vs 3.86 s/frame);
-    # the kernels are the vehicle for round-2 early-termination work
+    # culling threshold 0.5: safe under the sparsity prior (junk floor ≲0.4,
+    # real surfaces ≫1) and validated by the culled-vs-dense equivalence
+    # gate (scripts/quality_check.py; tests/kernels/test_blockwise.py)
+    occupancy=OccupancyConfig(enabled=True, sigma_threshold=0.5),
     kernels=KernelConfig(use_pallas=False),
-    train=TrainConfig(iters=200_000, batch_rays=4096, precrop_iters=500),
+    train=TrainConfig(iters=200_000, batch_rays=4096, precrop_iters=500,
+                      # keeps unobserved space empty → tight occupancy box
+                      sparsity_weight=1e-4),
     data=DataConfig(dataset="blender"),
 ))
 

@@ -8,7 +8,7 @@ a tight axis-aligned box, intersected per ray. Rays that miss the box skip
 the field entirely (composited straight to background); rays that hit get
 their whole static sample budget concentrated inside [t_lo, t_hi] instead of
 [near, far]. The temporal half (transmittance early termination) lives in
-kernels/megakernel_pallas.py, which consumes this module's per-ray ranges.
+render/blockwise.py, which consumes this module's per-ray ranges.
 
 TPU-native notes: the grid is built with one jitted lattice sweep (batched
 MXU matmuls, no per-cell host loop) and collapsed to an AABB with masked
@@ -122,6 +122,17 @@ def build_from_config(cfg, field: Callable) -> OccupancyState:
         sigma_threshold=ocfg.sigma_threshold,
         margin_cells=ocfg.margin_cells,
         sigma_activation=cfg.model.sigma_activation)
+
+
+def build_jit(cfg, field: Callable, params) -> OccupancyState:
+    """Jit the lattice sweep with `params` TRACED. Do not wrap the build in a
+    zero-argument jit: with the weights as compile-time constants the whole
+    sweep lands in XLA's constant folder, which crashes the TPU compiler on
+    the Pallas field (measured: SIGILL in tpu_compile_helper). `field` is the
+    UNBOUND field fn (params, pts, viewdirs, cond) → (rgb, σ)."""
+    import functools
+    return jax.jit(lambda p: build_from_config(
+        cfg, functools.partial(field, p)))(params)
 
 
 def ray_aabb_intersect(rays_o, rays_d, box_min, box_max, near, far):

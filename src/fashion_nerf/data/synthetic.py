@@ -36,14 +36,20 @@ _SPHERES = [
 ]
 
 
-def field_np(pts):
-    """Analytic field: pts (..., 3) → rgb (..., 3), sigma (...)."""
+def field_np(pts, scale: float = 1.0, sharp: float = 25.0):
+    """Analytic field: pts (..., 3) → rgb (..., 3), sigma (...).
+
+    scale shrinks the whole sphere cluster (object-centric framing — the
+    bench scene uses 0.75 so the object covers a lego-like ~40% of the
+    800×800 frame instead of filling the frustum); sharp sets the density
+    falloff rate (the σ > 0.01 halo extends ln(dens/0.01)/sharp beyond each
+    radius — 0.33 world units at 25, 0.10 at 80)."""
     sigma = np.zeros(pts.shape[:-1], np.float32)
     rgb = np.zeros(pts.shape[:-1] + (3,), np.float32)
     wsum = np.zeros(pts.shape[:-1], np.float32)
     for c, r, col, dens in _SPHERES:
-        d = np.linalg.norm(pts - c, axis=-1)
-        occ = dens / (1.0 + np.exp(np.clip(25.0 * (d - r), -30, 30)))
+        d = np.linalg.norm(pts - c * scale, axis=-1)
+        occ = dens / (1.0 + np.exp(np.clip(sharp * (d - r * scale), -30, 30)))
         sigma += occ
         rgb += occ[..., None] * col
         wsum += occ
@@ -53,7 +59,7 @@ def field_np(pts):
 
 
 def _render_view(H, W, focal, c2w, n_samples=128, near=2.0, far=6.0,
-                 white_bkgd=True):
+                 white_bkgd=True, scale=1.0, sharp=25.0):
     i, j = np.meshgrid(np.arange(W, dtype=np.float32),
                        np.arange(H, dtype=np.float32), indexing="xy")
     dirs = np.stack([(i - W * .5) / focal, -(j - H * .5) / focal,
@@ -62,7 +68,7 @@ def _render_view(H, W, focal, c2w, n_samples=128, near=2.0, far=6.0,
     rays_o = np.broadcast_to(c2w[:3, -1], rays_d.shape)
     t = np.linspace(near, far, n_samples, dtype=np.float32)
     pts = rays_o[..., None, :] + rays_d[..., None, :] * t[:, None]
-    rgb, sigma = field_np(pts)
+    rgb, sigma = field_np(pts, scale=scale, sharp=sharp)
     delta = (far - near) / (n_samples - 1) * np.linalg.norm(
         rays_d, axis=-1, keepdims=True)
     alpha = 1.0 - np.exp(-sigma * delta)
@@ -106,17 +112,24 @@ def make_forward_scene(n_views: int = 8, H: int = 48, W: int = 64,
 
 
 def make_synthetic_scene(n_views: int = 12, H: int = 64, W: int = 64,
-                         seed: int = 0, n_samples: int = 128):
+                         seed: int = 0, n_samples: int = 128,
+                         scale: float = 1.0, sharp: float = 25.0):
     """→ dict(images (N,H,W,3), poses (N,3,4), focal, near, far, plus a
-    held-out val view). Deterministic for a given seed."""
+    held-out val view). Deterministic for a given seed. scale/sharp shape
+    the object framing (field_np) — the bench checkpoint trains on
+    scale=0.75, sharp=80 so background/occupancy statistics match the
+    NeRF-synthetic scenes the flagship preset stands in for."""
     rng = np.random.default_rng(seed)
     focal = 0.9 * W
     thetas = np.linspace(0, 360, n_views, endpoint=False) + rng.uniform(0, 5)
     phis = rng.uniform(-40, -20, size=n_views)
     poses = np.stack([_pose_spherical(t, p, 4.0) for t, p in zip(thetas, phis)])
-    images = np.stack([_render_view(H, W, focal, p, n_samples) for p in poses])
+    images = np.stack([_render_view(H, W, focal, p, n_samples,
+                                    scale=scale, sharp=sharp)
+                       for p in poses])
     val_pose = _pose_spherical(33.3, -30.0, 4.0)
-    val_image = _render_view(H, W, focal, val_pose, n_samples)
+    val_image = _render_view(H, W, focal, val_pose, n_samples,
+                             scale=scale, sharp=sharp)
     return {
         "images": images, "poses": poses, "focal": float(focal),
         "val_image": val_image, "val_pose": val_pose,

@@ -237,8 +237,10 @@ def _field_kernel(plan, L, alive_ref, pts_ref, dirpart_ref, fmat_ref,
     # per-tile predication — the early-ray-termination lever (VERDICT r1 #2):
     # when every ray in this tile is terminated (transmittance < ε) or culled
     # (missed the occupancy box), the whole MXU workload of the tile is
-    # skipped; the scalar branch costs nothing when alive
-    @pl.when(alive_ref[0, 0] > 0)
+    # skipped; the scalar branch costs nothing when alive. The whole alive
+    # vector sits in SMEM (Mosaic rejects (1,1) blocks of a (n_tiles,1)
+    # array) and each program reads its own flag.
+    @pl.when(alive_ref[pl.program_id(0), 0] > 0)
     def _run():
         for j in range(_INTERLEAVE):
             sl = pl.ds(j * half, half)
@@ -246,7 +248,7 @@ def _field_kernel(plan, L, alive_ref, pts_ref, dirpart_ref, fmat_ref,
             rgb_ref[sl, :] = rgb
             sigma_ref[sl, :] = sigma
 
-    @pl.when(alive_ref[0, 0] <= 0)
+    @pl.when(alive_ref[pl.program_id(0), 0] <= 0)
     def _dead():
         # outputs must still be written: unwritten VMEM is NaN canaries in
         # interpret mode / garbage on hardware, and NaN × tiny-weight = NaN
@@ -280,7 +282,8 @@ def _fused_eval(weight_arrs, pts_flat, dirpart_flat, plan, L,
                             memory_space=pltpu.VMEM)
 
     in_specs = [
-        pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec(alive.shape, lambda i: (0, 0),
+                     memory_space=pltpu.SMEM),
         pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((tile, dirpart_flat.shape[1]), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
@@ -366,6 +369,9 @@ def make_fused_field(cfg: Config):
 
     def _bwd(res, g):
         params, pts, viewdirs = res
+        if cfg.kernels.fused_backward:
+            return _pallas_backward(params, pts, viewdirs, g[0], g[1],
+                                    mcfg, interpret)
         _, vjp = jax.vjp(lambda p, x, d: xla_field(p, x, d, None),
                          params, pts, viewdirs)
         return vjp(g)
@@ -438,6 +444,347 @@ def make_block_evaluator(cfg: Config):
         return _TILE // block_samples
 
     return pack, hoist_dirs, eval_block, rays_per_tile
+
+
+# --------------------------------------------------------------------------
+# fused backward (VERDICT r1 #5): gradients without the XLA recompute tax
+# --------------------------------------------------------------------------
+
+_BWD_TILE = 1024   # backward keeps 8 trunk activations + f32 grad
+                   # accumulators resident; 2048 rows overflow the 16 MB VMEM
+
+
+def _mmT(a, w):
+    """a (T,n) @ w (m,n)^T → (T,m), f32 accumulate — the dgrad matmul."""
+    return jax.lax.dot_general(
+        a, w, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _mmAT(a, b):
+    """a (T,m)^T @ b (T,n) → (m,n), f32 accumulate — the wgrad matmul."""
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _dx_row(L: int, d: int = 3) -> np.ndarray:
+    """(2dL, 128) backprop of the block-repeated phase layout: column j
+    collects dP rows {b·d+j} scaled by the per-block frequency (chain rule
+    through P = repeat(x)·freq + off). Padded to 128 lanes (tiny-N matmuls
+    take slow Mosaic paths — same rationale as pad_cols in pack_params)."""
+    m = np.zeros((2 * d * L, 128), np.float32)
+    for b in range(2 * L):
+        for j in range(d):
+            m[d * b + j, j] = 2.0 ** (b % L)
+    return m
+
+
+def _field_bwd_kernel(plan, L, n_arrs, pts_ref, dirpart_ref, ga_ref, gb_ref,
+                      fmat_ref, off_ref, rmat_ref, *refs):
+    """Recompute the fused forward for this tile, then backprop it entirely
+    in VMEM. Weight/bias grads accumulate across the (sequential) TPU grid
+    into the (0,0)-mapped output refs; dx/ddir are per-row outputs.
+
+    Ref layout: [*w_refs (n_arrs)] then outputs
+    [dx_ref (T,3), ddir_ref (T,128), *gw_refs (n_arrs)].
+    """
+    w_refs = refs[:n_arrs]
+    dx_ref, ddir_ref = refs[n_arrs], refs[n_arrs + 1]
+    gw_refs = refs[n_arrs + 2:]
+    bf = jnp.bfloat16
+    ws = [r[:] for r in w_refs]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for r in gw_refs:
+            r[:] = jnp.zeros_like(r)
+
+    x = pts_ref[:]
+    P = pltpu.repeat(x, 2 * L, axis=1) * fmat_ref[:] + off_ref[:]
+    SnCs_f = jnp.sin(P)
+    SnCs = SnCs_f.astype(bf)
+    x_bf = x.astype(bf)
+    d_in = dirpart_ref[:]
+
+    # ---- forward recompute, collecting per-layer (tag, arr-indices, input) —
+    # h is stored per layer (post-relu, bf16); masks reconstruct from h > 0
+    idx = 0
+    layers = []          # (tag, idx_of_first_arr, h_input or None)
+    hs = []
+    h = None
+    for tag in plan[:-1]:
+        if tag == "first":
+            Wx, Wsc, b = ws[idx], ws[idx + 1], ws[idx + 2]
+            acc = _mm_trunk(x_bf, Wx) + _mm_trunk(SnCs, Wsc)
+            layers.append((tag, idx, None))
+            idx += 3
+        elif tag == "skip":
+            Wh, Wx, Wsc, b = ws[idx], ws[idx + 1], ws[idx + 2], ws[idx + 3]
+            acc = _mm_trunk(h, Wh) + _mm_trunk(x_bf, Wx) \
+                + _mm_trunk(SnCs, Wsc)
+            layers.append((tag, idx, h))
+            idx += 4
+        else:
+            Wh, b = ws[idx], ws[idx + 1]
+            acc = _mm_trunk(h, Wh)
+            layers.append((tag, idx, h))
+            idx += 2
+        h = jnp.maximum(acc + b.astype(acc.dtype), 0.0).astype(bf)
+        hs.append(h)
+
+    gvals = {}           # arr index → gradient value (each arr used once)
+    ga = ga_ref[:]
+    gb = gb_ref[:]
+
+    if plan[-1] == "heads_vd":
+        i_sig, i_feat, i_view, i_rgb = idx, idx + 2, idx + 4, idx + 6
+        w_sig, b_sig = ws[i_sig], ws[i_sig + 1]
+        w_feat, b_feat = ws[i_feat], ws[i_feat + 1]
+        Wf, b_v = ws[i_view], ws[i_view + 1]
+        w_rgb, b_rgb = ws[i_rgb], ws[i_rgb + 1]
+
+        feat = (_mm(hs[-1], w_feat) + b_feat).astype(bf)
+        h2pre = _mm(feat, Wf) + d_in.astype(jnp.float32) + b_v
+        h2 = jnp.maximum(h2pre, 0.0).astype(bf)
+        s = jax.nn.sigmoid(_mm(h2, w_rgb) + b_rgb)
+
+        # rgb head (sigmoid): cotangent ga is zero on padded lanes
+        d_raw = (ga * s * (1.0 - s)).astype(bf)
+        gvals[i_rgb] = _mmAT(h2, d_raw)
+        gvals[i_rgb + 1] = jnp.sum(d_raw.astype(jnp.float32), axis=0,
+                                   keepdims=True)
+        d_h2 = _mmT(d_raw, w_rgb)
+        d_h2pre = jnp.where(h2pre > 0.0, d_h2, 0.0)
+        ddir_ref[:] = d_h2pre                       # per-sample dir cotangent
+        d_h2pre_bf = d_h2pre.astype(bf)
+        gvals[i_view] = _mmAT(feat, d_h2pre_bf)
+        gvals[i_view + 1] = jnp.sum(d_h2pre, axis=0, keepdims=True)
+        d_feat = _mmT(d_h2pre_bf, Wf).astype(bf)
+        gvals[i_feat] = _mmAT(hs[-1], d_feat)
+        gvals[i_feat + 1] = jnp.sum(d_feat.astype(jnp.float32), axis=0,
+                                    keepdims=True)
+        # sigma head (identity): cotangent gb, zero on padded lanes
+        gb_bf = gb.astype(bf)
+        gvals[i_sig] = _mmAT(hs[-1], gb_bf)
+        gvals[i_sig + 1] = jnp.sum(gb, axis=0, keepdims=True)
+        d_h = _mmT(d_feat, w_feat) + _mmT(gb_bf, w_sig)
+    else:
+        i_out = idx
+        w_o, b_o = ws[i_out], ws[i_out + 1]
+        s = jax.nn.sigmoid(_mm(hs[-1], w_o) + b_o)
+        # lanes 0-2: sigmoid'd rgb (ga); lane 3: identity sigma (gb)
+        d_raw = (ga * s * (1.0 - s) + gb).astype(bf)
+        gvals[i_out] = _mmAT(hs[-1], d_raw)
+        gvals[i_out + 1] = jnp.sum(d_raw.astype(jnp.float32), axis=0,
+                                   keepdims=True)
+        ddir_ref[:] = jnp.zeros_like(ddir_ref)
+        d_h = _mmT(d_raw, w_o)
+
+    # ---- trunk backward (reverse layer order) ----
+    d_SnCs = jnp.zeros_like(SnCs_f)
+    d_x_lin = jnp.zeros((x.shape[0], 128), jnp.float32)
+    for li in range(len(layers) - 1, -1, -1):
+        tag, i0, h_prev = layers[li]
+        mask = hs[li] > 0
+        d_pre = jnp.where(mask, d_h, 0.0)
+        d_pre_bf = d_pre.astype(bf)
+        if tag == "first":
+            Wx, Wsc = ws[i0], ws[i0 + 1]
+            gvals[i0] = _mmAT(x_bf, d_pre_bf)
+            gvals[i0 + 1] = _mmAT(SnCs, d_pre_bf)
+            gvals[i0 + 2] = jnp.sum(d_pre, axis=0, keepdims=True)
+            d_SnCs += _mmT(d_pre_bf, Wsc)
+            d_x_lin += jnp.pad(_mmT(d_pre_bf, Wx),
+                               ((0, 0), (0, 125)))
+            d_h = None
+        elif tag == "skip":
+            Wh, Wx, Wsc = ws[i0], ws[i0 + 1], ws[i0 + 2]
+            gvals[i0] = _mmAT(h_prev, d_pre_bf)
+            gvals[i0 + 1] = _mmAT(x_bf, d_pre_bf)
+            gvals[i0 + 2] = _mmAT(SnCs, d_pre_bf)
+            gvals[i0 + 3] = jnp.sum(d_pre, axis=0, keepdims=True)
+            d_SnCs += _mmT(d_pre_bf, Wsc)
+            d_x_lin += jnp.pad(_mmT(d_pre_bf, Wx), ((0, 0), (0, 125)))
+            d_h = _mmT(d_pre_bf, Wh)
+        else:
+            Wh = ws[i0]
+            gvals[i0] = _mmAT(h_prev, d_pre_bf)
+            gvals[i0 + 1] = jnp.sum(d_pre, axis=0, keepdims=True)
+            d_h = _mmT(d_pre_bf, Wh)
+
+    # phase backprop: d/dP sin = cos; chain through repeat·freq via rmat
+    dP = d_SnCs * jnp.cos(P)
+    d_x = jnp.dot(dP, rmat_ref[:],
+                  preferred_element_type=jnp.float32) + d_x_lin
+    dx_ref[:] = d_x[:, :3]
+
+    for i, r in enumerate(gw_refs):
+        r[:] += gvals[i].astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("plan", "L", "interpret"))
+def _fused_bwd_eval(weight_arrs, pts_flat, dirpart_flat, ga_flat, gb_flat,
+                    plan, L, interpret=False):
+    n = pts_flat.shape[0]
+    tile = min(_BWD_TILE, n)
+    assert n % tile == 0, (n, tile)
+    grid = (n // tile,)
+
+    fmat = jnp.asarray(_freq_row(max(L, 1)))
+    foff = jnp.asarray(_phase_offset(max(L, 1)))
+    rmat = jnp.asarray(_dx_row(max(L, 1)))
+
+    kernel = functools.partial(_field_bwd_kernel, plan, L, len(weight_arrs))
+
+    def _const2d(a):
+        return pl.BlockSpec(a.shape, lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def _rows(width):
+        return pl.BlockSpec((tile, width), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [_rows(3), _rows(dirpart_flat.shape[1]), _rows(128),
+                _rows(128), _const2d(fmat), _const2d(foff), _const2d(rmat)] \
+        + [_const2d(a) for a in weight_arrs]
+
+    dw = dirpart_flat.shape[1]
+    out_specs = (_rows(3), _rows(dw)) + tuple(
+        pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for a in weight_arrs)
+    out_shape = (
+        jax.ShapeDtypeStruct((n, 3), jnp.float32),
+        jax.ShapeDtypeStruct((n, dw), jnp.float32),
+    ) + tuple(jax.ShapeDtypeStruct(a.shape, jnp.float32)
+              for a in weight_arrs)
+
+    flops_row = 3 * 2 * 0.53e6    # recompute + dgrad + wgrad
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=int(n * flops_row),
+            bytes_accessed=int(n * (3 + 3 + 4) * 4),
+            transcendentals=int(n * (12 * L + 6)),
+        ),
+        interpret=interpret,
+    )(pts_flat, dirpart_flat, ga_flat, gb_flat, fmat, foff, rmat,
+      *weight_arrs)
+    return outs[0], outs[1], outs[2:]
+
+
+def _pallas_backward(params, pts, viewdirs, g_rgb, g_sigma, mcfg: ModelConfig,
+                     interpret: bool):
+    """Full VJP of the fused field in one Pallas pass (VERDICT r1 #5):
+    in-kernel forward recompute (zero HBM activation traffic) + dgrad/wgrad,
+    then the per-ray view-branch hoist is backpropped by an exact XLA vjp.
+
+    Returns (param grads tree, d_pts, d_viewdirs)."""
+    R, S = pts.shape[0], pts.shape[1]
+    n = R * S
+    tile = min(_BWD_TILE, n)
+    pad = (-n) % tile
+    arrs, plan, dir_kernel = pack_params(params, mcfg)
+
+    hoist_vjp = None
+    if mcfg.use_viewdirs:
+        def hoist(vd, dk):
+            d_unit = vd / jnp.linalg.norm(vd, axis=-1, keepdims=True)
+            d_enc = posenc(d_unit, mcfg.posenc_dir)
+            return jnp.dot(d_enc, dk, preferred_element_type=jnp.float32)
+
+        dirpart, hoist_vjp = jax.vjp(hoist, viewdirs, dir_kernel)
+        dirpart_flat = jnp.broadcast_to(
+            dirpart.astype(jnp.bfloat16)[:, None, :],
+            (R, S, dirpart.shape[-1])).reshape(n, -1)
+    else:
+        dirpart_flat = jnp.zeros((n, 128), jnp.bfloat16)
+
+    pts_flat = pts.reshape(n, 3)
+    ga = jnp.pad(g_rgb.reshape(n, 3).astype(jnp.float32),
+                 ((0, 0), (0, 125)))
+    gs = g_sigma.reshape(n, 1).astype(jnp.float32)
+    if plan[-1] == "heads_vd":
+        gb = jnp.pad(gs, ((0, 0), (0, 127)))
+    else:
+        gb = jnp.pad(gs, ((0, 0), (3, 124)))   # σ sits at lane 3 of out_head
+    if pad:
+        pts_flat = jnp.pad(pts_flat, ((0, pad), (0, 0)))
+        dirpart_flat = jnp.pad(dirpart_flat, ((0, pad), (0, 0)))
+        ga = jnp.pad(ga, ((0, pad), (0, 0)))
+        gb = jnp.pad(gb, ((0, pad), (0, 0)))
+
+    dx, ddir, gw = _fused_bwd_eval(tuple(arrs), pts_flat, dirpart_flat,
+                                   ga, gb, plan, mcfg.posenc_xyz, interpret)
+    d_pts = dx[:n].reshape(R, S, 3)
+    d_dir_kernel = None
+    if mcfg.use_viewdirs:
+        ddir_ray = jnp.sum(ddir[:n].reshape(R, S, -1), axis=1)
+        d_viewdirs, d_dir_kernel = hoist_vjp(ddir_ray)
+    else:
+        d_viewdirs = jnp.zeros_like(viewdirs)
+    grads = _unpack_grads(gw, d_dir_kernel, params, mcfg)
+    return grads, d_pts, d_viewdirs
+
+
+def _unsplit_posenc_grad(gWx, gWsc, L: int, d: int = 3):
+    """Inverse of _split_posenc_kernel: reassemble the (d(1+2L), n) kernel
+    grad from the (d,n) x-part and the [sin rows; cos rows] (2dL, n) part."""
+    rows = [gWx]
+    for i in range(L):
+        rows.append(gWsc[d * i: d * (i + 1)])                    # sin rows
+        rows.append(gWsc[d * L + d * i: d * L + d * (i + 1)])    # cos rows
+    return jnp.concatenate(rows, axis=0)
+
+
+def _unpack_grads(gw, d_dir_kernel, params, mcfg: ModelConfig):
+    """Map the flat kernel-layout grads back onto the flax param tree
+    (inverse of pack_params). d_dir_kernel: (Cd, W//2) grad of view_0's
+    direction rows, computed by the XLA hoist vjp (None when no viewdirs)."""
+    p = params["params"]
+    L = mcfg.posenc_xyz
+    cx = 3 * (2 * L + 1)
+    out = {}
+    it = iter(gw)
+
+    for i in range(mcfg.net_depth):
+        k = p[f"trunk_{i}"]["kernel"]
+        if i == 0:
+            gWx, gWsc, gb = next(it), next(it), next(it)
+            gk = _unsplit_posenc_grad(gWx, gWsc, L)
+        elif k.shape[0] > mcfg.net_width:
+            gWh, gWx, gWsc, gb = next(it), next(it), next(it), next(it)
+            gk = jnp.concatenate(
+                [_unsplit_posenc_grad(gWx, gWsc, L), gWh], axis=0)
+        else:
+            gk, gb = next(it), next(it)
+        out[f"trunk_{i}"] = {"kernel": gk, "bias": gb.reshape(-1)}
+
+    if mcfg.use_viewdirs:
+        gk_sig, gb_sig = next(it), next(it)
+        gk_feat, gb_feat = next(it), next(it)
+        gk_view, gb_view = next(it), next(it)
+        gk_rgb, gb_rgb = next(it), next(it)
+        W = mcfg.net_width
+        out["sigma_head"] = {"kernel": gk_sig[:, :1],
+                             "bias": gb_sig.reshape(-1)[:1]}
+        out["feature"] = {"kernel": gk_feat, "bias": gb_feat.reshape(-1)}
+        half = p["view_0"]["kernel"].shape[1]
+        out["view_0"] = {
+            "kernel": jnp.concatenate(
+                [gk_view[:, :half], d_dir_kernel[:, :half]], axis=0),
+            "bias": gb_view.reshape(-1)[:half]}
+        out["rgb_head"] = {"kernel": gk_rgb[:, :3],
+                           "bias": gb_rgb.reshape(-1)[:3]}
+    else:
+        gk_o, gb_o = next(it), next(it)
+        out["out_head"] = {"kernel": gk_o[:, :4],
+                           "bias": gb_o.reshape(-1)[:4]}
+    return {"params": out}
 
 
 # SURVEY.md §2.1 inventory name for this substrate

@@ -29,12 +29,14 @@ def make_fields(cfg: Config, training: bool = False):
     """Build (field_coarse, field_fine) UNBOUND field fns taking params
     explicitly: field(params, pts, viewdirs, cond).
 
-    Render/eval honor cfg.kernels (Pallas fused MLP). Training always uses
-    the XLA field: the fused kernel's custom VJP recomputes the forward in
-    XLA, so inside jax.grad it costs an extra full forward (measured: 72.7k
-    → 48.8k rays/s train) for no gradient benefit."""
+    Render/eval honor cfg.kernels (Pallas fused MLP). Training uses the
+    fused field only when kernels.fused_backward provides the Pallas VJP
+    (in-kernel recompute + dgrad/wgrad); without it the custom VJP recomputes
+    the forward through XLA inside jax.grad — an extra full forward
+    (measured: 72.7k → 48.8k rays/s train) for no gradient benefit."""
     _, field = make_field(cfg.model)
-    if (not training and cfg.kernels.use_pallas and cfg.kernels.fused_mlp):
+    if cfg.kernels.use_pallas and cfg.kernels.fused_mlp and (
+            not training or cfg.kernels.fused_backward):
         from fashion_nerf.kernels.posenc_mlp_pallas import make_fused_field
         return make_fused_field(cfg), make_fused_field(cfg)
     return field, field

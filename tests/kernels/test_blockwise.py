@@ -124,7 +124,18 @@ class TestTrainedTermination:
 
     def test_termination_holds_quality_and_skips(self):
         cfg, params, occ = self._setup(eps=1e-4, use_occ=True)
-        rays_o, rays_d = _ray_fan(R=256)
+        # image-like scanline rays (the bench camera at low res): contiguous
+        # pixel tiles include whole-background runs that miss the AABB and
+        # interior runs that saturate — the geometry the skip targets. An
+        # object-aimed analytic fan has neither (one straggler per 64-ray
+        # tile keeps its whole tile alive; measured alive_frac 1.0).
+        from fashion_nerf.core.cameras import generate_rays
+        H = W = 64
+        focal = 0.5 * W / np.tan(0.5 * 0.6911)
+        c2w = np.eye(4, dtype=np.float32)[:3]
+        c2w[2, 3] = 4.0
+        ro, rd = generate_rays(H, W, focal, jnp.asarray(c2w))
+        rays_o, rays_d = ro.reshape(-1, 3), rd.reshape(-1, 3)
         bw = render_rays_blockwise(params, cfg, rays_o, rays_d, rays_d,
                                    occ=occ)
         cfg0, _, _ = self._setup(eps=0.0, use_occ=True)
@@ -132,8 +143,8 @@ class TestTrainedTermination:
                                       occ=occ)
         p = float(psnr(bw["fine"]["rgb"], dense["fine"]["rgb"]))
         assert p > 40.0, f"terminated vs non-terminated PSNR {p:.1f} dB"
-        # the trained sphere scene saturates quickly → real skipping
-        assert float(bw["fine"]["alive_frac"]) < 0.95
+        # background tiles never launch; saturated tiles stop early
+        assert float(bw["fine"]["alive_frac"]) < 0.9
 
     def test_miss_rays_cost_nothing_and_render_background(self):
         cfg, params, occ = self._setup(eps=1e-4, use_occ=True)
@@ -183,10 +194,20 @@ class TestCompiledTPU:
                               "occupancy.enabled=true"])
         params, _ = load_flagship()
         fused = make_fused_field(cfg)
-        ff = functools.partial(fused, params["fine"])
-        occ = jax.jit(lambda: build_from_config(cfg, ff))()
-        rays_o, rays_d = _ray_fan(R=2048)
+        # params traced, not constant-folded (zero-arg jit of the Pallas
+        # lattice sweep SIGILLs the TPU compiler — occupancy.build_jit)
+        from fashion_nerf.core.occupancy import build_jit
+        occ = build_jit(cfg, fused, params["fine"])
+        # image-like scanline rays (see the interpret twin for why a fan
+        # aimed at the object cannot show tile-granular skipping)
+        from fashion_nerf.core.cameras import generate_rays
+        H = W = 64
+        focal = 0.5 * W / np.tan(0.5 * 0.6911)
+        c2w = np.eye(4, dtype=np.float32)[:3]
+        c2w[2, 3] = 4.0
+        ro, rd = generate_rays(H, W, focal, jnp.asarray(c2w))
+        rays_o, rays_d = ro.reshape(-1, 3), rd.reshape(-1, 3)
         bw = jax.jit(lambda: render_rays_blockwise(
             params, cfg, rays_o, rays_d, rays_d, occ=occ))()
-        assert float(bw["fine"]["alive_frac"]) < 0.95
+        assert float(bw["fine"]["alive_frac"]) < 0.9
         assert np.isfinite(np.asarray(bw["fine"]["rgb"])).all()

@@ -88,7 +88,9 @@ def test_fused_matches_xla_tpu():
 
 @pytest.mark.tpu
 def test_fused_gradients_flow_tpu():
-    cfg, params, _f32, fused = _mk([], interpret=False)
+    # the XLA-recompute VJP fallback (kernels.fused_backward=false)
+    cfg, params, _f32, fused = _mk(["kernels.fused_backward=false"],
+                                   interpret=False)
     # grads must match the SAME-dtype XLA field exactly (the custom VJP
     # recomputes through it), not the f32 truth
     _, xla_field = make_field(cfg.model)
@@ -128,3 +130,83 @@ def test_fused_gradients_flow_tpu():
         scale = max(1e-3, float(np.abs(np.asarray(b)).max()))
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=0.05 * scale)
+
+
+# --------------------------------------------------------------------------
+# fused Pallas backward (VERDICT r1 #5): full VJP in one kernel
+# --------------------------------------------------------------------------
+
+def _grad_envelope(overrides, interpret, R=16, S=8):
+    """Pallas-backward grads must sit in the same envelope around f32 truth
+    as the bf16 XLA field's own grads (both are bf16 pipelines with
+    different rounding points — exact agreement is not a meaningful bar)."""
+    cfg, params, _f32, fused = _mk(overrides, interpret)
+    assert cfg.kernels.fused_backward
+    _, bf16_field = make_field(cfg.model)
+    f32_cfg = load_config("blender_lego",
+                          overrides + ["model.compute_dtype=float32"])
+    _, f32_field = make_field(f32_cfg.model)
+
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (R, S, 3),
+                             minval=-2, maxval=2)
+    dirs = jax.random.normal(jax.random.PRNGKey(2), (R, 3))
+
+    def loss(field):
+        def f(p, x, d):
+            rgb, sig = field(p, x, d, None)
+            return jnp.mean(rgb ** 2) + 0.01 * jnp.mean(jax.nn.relu(sig) ** 2)
+        return f
+
+    g_pal = jax.grad(loss(fused), argnums=(0, 1, 2))(params, pts, dirs)
+    g_bf = jax.grad(loss(bf16_field), argnums=(0, 1, 2))(params, pts, dirs)
+    with jax.default_matmul_precision("highest"):
+        g_f32 = jax.grad(loss(f32_field), argnums=(0, 1, 2))(params, pts,
+                                                             dirs)
+
+    flat = jax.tree_util.tree_leaves_with_path
+    for (kp, a), (_, b), (_, c) in zip(flat(g_pal), flat(g_bf), flat(g_f32)):
+        ra = float(jnp.sqrt(jnp.mean((a - c) ** 2)))
+        rb = float(jnp.sqrt(jnp.mean((b - c) ** 2)))
+        scale = float(jnp.sqrt(jnp.mean(c ** 2))) + 1e-12
+        assert ra <= 2.5 * rb + 1e-6 + 1e-4 * scale, \
+            (jax.tree_util.keystr(kp), ra, rb, scale)
+
+
+def test_pallas_backward_interpret():
+    _grad_envelope([], interpret=True)
+
+
+def test_pallas_backward_no_viewdirs_interpret():
+    _grad_envelope(["model.use_viewdirs=false"], interpret=True)
+
+
+def test_pallas_backward_small_net_interpret():
+    _grad_envelope(["model.net_depth=3", "model.net_width=32",
+                    "model.posenc_xyz=4"], interpret=True)
+
+
+@pytest.mark.tpu
+def test_pallas_backward_tpu():
+    _grad_envelope([], interpret=False, R=32, S=16)
+
+
+@pytest.mark.tpu
+def test_pallas_backward_train_step_tpu():
+    """End-to-end: one fused-backward train step runs and produces finite
+    loss/grads through the full render pipeline (the make_fields(training)
+    routing in train/loop.py)."""
+    from fashion_nerf.data.pipeline import RayDataset
+    from fashion_nerf.data.synthetic import make_synthetic_scene
+    from fashion_nerf.train.loop import make_train_step
+    from fashion_nerf.train.state import create_train_state
+
+    cfg = load_config("blender_lego",
+                      ["kernels.use_pallas=true", "train.batch_rays=512",
+                       "sampling.n_coarse=32", "sampling.n_fine=32",
+                       "train.sparsity_weight=1e-4"])
+    scene = make_synthetic_scene(n_views=2, H=32, W=32, n_samples=16)
+    ds = RayDataset(scene["images"], scene["poses"], scene["focal"])
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = make_train_step(cfg, ds)
+    state, m = step(state, ds.batch_arrays())
+    assert np.isfinite(float(m["loss"]))
