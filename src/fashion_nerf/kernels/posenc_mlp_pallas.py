@@ -179,13 +179,27 @@ _INTERLEAVE = 2  # independent row-halves per tile so Mosaic can overlap the
 _DEAD_SIGMA = -1e10   # post-relu density 0 ⇒ α = 0 ⇒ zero weight downstream
 
 
-def _field_kernel(plan, L, alive_ref, pts_ref, dirpart_ref, fmat_ref,
+def _field_kernel(plan, L, spr, alive_ref, pts_ref, dirpart_ref, fmat_ref,
                   off_ref, *refs):
     *w_refs, rgb_ref, sigma_ref = refs
     bf = jnp.bfloat16
     ws = [r[:] for r in w_refs]
     T = pts_ref.shape[0]
     half = T // _INTERLEAVE
+
+    def _dirpart_half(j):
+        # per-RAY dir rows expanded to per-sample in VMEM (ray-major: each
+        # row repeats spr consecutive times), one interleave-half at a time
+        # to stay inside the VMEM budget. Expanding on the host side
+        # materializes an (n, 128) bf16 stream — measured ~270 MB of HBM
+        # traffic per 1M-row launch, a big slice of the dead-chunk floor.
+        if spr == 1:
+            return dirpart_ref[pl.ds(j * half, half), :]
+        rows = half // spr
+        dblk = dirpart_ref[pl.ds(j * rows, rows), :]
+        return jnp.broadcast_to(
+            dblk[:, None, :], (rows, spr, dblk.shape[-1])
+        ).reshape(half, dblk.shape[-1])
 
     def run_half(x, d):
         it = iter(ws)
@@ -237,18 +251,20 @@ def _field_kernel(plan, L, alive_ref, pts_ref, dirpart_ref, fmat_ref,
     # per-tile predication — the early-ray-termination lever (VERDICT r1 #2):
     # when every ray in this tile is terminated (transmittance < ε) or culled
     # (missed the occupancy box), the whole MXU workload of the tile is
-    # skipped; the scalar branch costs nothing when alive. The whole alive
-    # vector sits in SMEM (Mosaic rejects (1,1) blocks of a (n_tiles,1)
-    # array) and each program reads its own flag.
-    @pl.when(alive_ref[pl.program_id(0), 0] > 0)
+    # skipped; the scalar branch costs nothing when alive. The alive flags
+    # sit whole-array in SMEM, packed 128-wide: Mosaic rejects (1,1) blocks
+    # of an (n_tiles,1) array, and an (n_tiles,1) SMEM window lane-pads to
+    # ×128 bytes (a 3072-tile grid overflows the 1 MB SMEM budget).
+    _pid = pl.program_id(0)
+    @pl.when(alive_ref[_pid // 128, _pid % 128] > 0)
     def _run():
         for j in range(_INTERLEAVE):
             sl = pl.ds(j * half, half)
-            rgb, sigma = run_half(pts_ref[sl, :], dirpart_ref[sl, :])
+            rgb, sigma = run_half(pts_ref[sl, :], _dirpart_half(j))
             rgb_ref[sl, :] = rgb
             sigma_ref[sl, :] = sigma
 
-    @pl.when(alive_ref[pl.program_id(0), 0] <= 0)
+    @pl.when(alive_ref[_pid // 128, _pid % 128] <= 0)
     def _dead():
         # outputs must still be written: unwritten VMEM is NaN canaries in
         # interpret mode / garbage on hardware, and NaN × tiny-weight = NaN
@@ -261,21 +277,31 @@ def _field_kernel(plan, L, alive_ref, pts_ref, dirpart_ref, fmat_ref,
 # --------------------------------------------------------------------------
 
 @functools.partial(jax.jit,
-                   static_argnames=("plan", "L", "interpret"))
+                   static_argnames=("plan", "L", "interpret", "spr"))
 def _fused_eval(weight_arrs, pts_flat, dirpart_flat, plan, L,
-                interpret=False, alive=None):
+                interpret=False, alive=None, spr=1):
+    """spr (samples per ray): when >1, dirpart_flat holds ONE row per ray
+    ((n/spr, dw)) and the kernel expands it per sample in VMEM — the
+    host-side broadcast is ~spr× the HBM traffic."""
     n = pts_flat.shape[0]
     tile = min(_TILE, n)
     assert n % tile == 0, (n, tile)
+    # each interleave-half must cover whole rays for the in-kernel expand
+    assert tile % (spr * _INTERLEAVE) == 0, (tile, spr)
     grid = (n // tile,)
     if alive is None:
         alive = jnp.ones((n // tile, 1), jnp.float32)
     assert alive.shape == (n // tile, 1), (alive.shape, n, tile)
+    assert dirpart_flat.shape[0] == n // spr, (dirpart_flat.shape, n, spr)
+    # pack flags 128-wide for SMEM (see kernel comment)
+    n_tiles = n // tile
+    pad_t = (-n_tiles) % 128
+    alive = jnp.pad(alive.reshape(-1), (0, pad_t)).reshape(-1, 128)
 
     fmat = jnp.asarray(_freq_row(max(L, 1)))
     foff = jnp.asarray(_phase_offset(max(L, 1)))
 
-    kernel = functools.partial(_field_kernel, plan, L)
+    kernel = functools.partial(_field_kernel, plan, L, spr)
 
     def _const2d(a):
         return pl.BlockSpec(a.shape, lambda i: (0, 0),
@@ -285,8 +311,8 @@ def _fused_eval(weight_arrs, pts_flat, dirpart_flat, plan, L,
         pl.BlockSpec(alive.shape, lambda i: (0, 0),
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile, dirpart_flat.shape[1]), lambda i: (i, 0),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile // spr, dirpart_flat.shape[1]),
+                     lambda i: (i, 0), memory_space=pltpu.VMEM),
         _const2d(fmat),
         _const2d(foff),
     ] + [_const2d(a) for a in weight_arrs]
@@ -433,10 +459,11 @@ def make_block_evaluator(cfg: Config):
         n = R * SB
         assert n % _TILE == 0, (R, SB, _TILE)
         pts_flat = pts.reshape(n, 3)
-        dirpart_flat = jnp.broadcast_to(
-            dirpart[:, None, :], (R, SB, dirpart.shape[-1])).reshape(n, -1)
-        rgb, sigma = _fused_eval(arrs, pts_flat, dirpart_flat, plan,
-                                 mcfg.posenc_xyz, interpret, alive=alive)
+        # dirpart stays per-RAY ((R, dw)); the kernel expands it per sample
+        # in VMEM (spr=SB) instead of streaming an (n, dw) broadcast
+        rgb, sigma = _fused_eval(arrs, pts_flat, dirpart, plan,
+                                 mcfg.posenc_xyz, interpret, alive=alive,
+                                 spr=SB)
         return rgb.reshape(R, SB, 3), sigma[:, 0].reshape(R, SB)
 
     def rays_per_tile(block_samples: int) -> int:

@@ -207,11 +207,34 @@ def render_image_blockwise(params, cfg: Config, H: int, W: int, focal, c2w,
     rd = _pad_rays(rays_d, unit_fill=True)
     vd = _pad_rays(viewdirs, unit_fill=True)
 
-    def render_chunk(args):
-        o, d, v = args
+    def _live_chunk(o, d, v):
         out = render_rays_blockwise(params, cfg, o, d, v, occ=occ)
         head = out["fine"] if out["fine"] is not None else out["coarse"]
         return {k: head[k] for k in ("rgb", "depth", "acc", "disp")}
+
+    def _dead_chunk(o, d, v):
+        # whole chunk misses the box: the exact output every miss ray
+        # converges to (zero-width intervals → α = 0 → background)
+        bg = 1.0 if cfg.render.white_bkgd else 0.0
+        n_r = o.shape[0]
+        return {"rgb": jnp.full((n_r, 3), bg, jnp.float32),
+                "depth": jnp.zeros((n_r,), jnp.float32),
+                "acc": jnp.zeros((n_r,), jnp.float32),
+                "disp": jnp.full((n_r,), 1e10, jnp.float32)}
+
+    def render_chunk(args):
+        o, d, v = args
+        if occ is None:
+            return _live_chunk(o, d, v)
+        # Whole-chunk skip: a fully-culled chunk still paid ~2/3 of a live
+        # chunk's wall time through per-tile predication alone (measured 84
+        # vs 131 ms at 32k rays) — the input DMAs and the XLA carry/resample
+        # glue run regardless. Inside lax.map's scan body this lax.cond is a
+        # real branch (not a select), so background chunks cost only the
+        # slab test. At the bench framing ~13 of 20 chunks die here.
+        _, _, hit = ray_aabb_intersect(
+            o, d, occ.box_min, occ.box_max, cfg.render.near, cfg.render.far)
+        return jax.lax.cond(jnp.any(hit), _live_chunk, _dead_chunk, o, d, v)
 
     out = jax.lax.map(render_chunk, (ro, rd, vd))
 
