@@ -47,7 +47,9 @@ def run_bench(cfg: Config, H: int = 800, W: int = 800, warmup: int = 1,
     """Render H×W with the cfg's sampling stack; report rays/sec/chip."""
     params, trained = _bench_params(cfg)
     field_c, field_f = make_fields(cfg)
-    use_pallas = cfg.kernels.use_pallas and cfg.kernels.fused_render
+    from fashion_nerf.kernels import kernels_enabled
+    enabled = kernels_enabled(cfg)
+    use_pallas = enabled and cfg.kernels.fused_render
 
     fc = functools.partial(field_c, params["coarse"])
     ff = (functools.partial(field_f, params["fine"])
@@ -66,8 +68,7 @@ def run_bench(cfg: Config, H: int = 800, W: int = 800, warmup: int = 1,
                if cfg.sampling.n_fine > 0
                else build_jit(cfg, field_c, params["coarse"]))
 
-    blockwise = (cfg.kernels.use_pallas and cfg.kernels.blockwise
-                 and cfg.kernels.fused_mlp)
+    blockwise = enabled and cfg.kernels.blockwise and cfg.kernels.fused_mlp
     if blockwise:
         # the production fast path: fused field blocks + per-tile
         # early-termination/culling skips (render/blockwise.py)
@@ -105,7 +106,7 @@ def run_bench(cfg: Config, H: int = 800, W: int = 800, warmup: int = 1,
         "vs_baseline": round(rays_per_sec / NORTH_STAR_RAYS_PER_SEC, 4),
         "frame_seconds": round(dt, 4),
         "config": cfg.name,
-        "pallas": bool(cfg.kernels.use_pallas),
+        "pallas": bool(enabled),
         "blockwise": blockwise,
         "trained_ckpt": trained,
         "occupancy_cull": occ is not None,

@@ -167,11 +167,17 @@ _register(Config(
     model=ModelConfig(compute_dtype="bfloat16"),
     sampling=SamplingConfig(n_coarse=64, n_fine=128, raw_noise_std=0.0),
     render=RenderConfig(near=2.0, far=6.0, white_bkgd=True, chunk=32768),
-    # culling threshold 0.5: safe under the sparsity prior (junk floor ≲0.4,
-    # real surfaces ≫1) and validated by the culled-vs-dense equivalence
-    # gate (scripts/quality_check.py; tests/kernels/test_blockwise.py)
-    occupancy=OccupancyConfig(enabled=True, sigma_threshold=0.5),
-    kernels=KernelConfig(use_pallas=False),
+    # culling threshold 0.1: tightest box that still contains everything the
+    # dense path integrates (sweep on the sparsity-3e-4 ckpt: thr 0.1 box =
+    # thr 0.5 box + the real density tail, 60.7 dB vs dense and the fastest
+    # live chunk; thr 0.02 picks up junk floaters and the box hits the world
+    # edge). Validated by scripts/quality_check.py + test_blockwise gates.
+    occupancy=OccupancyConfig(enabled=True, sigma_threshold=0.1),
+    # Pallas is the default path (r2): blockwise early-terminated render
+    # 1.25 s vs 2.39 s XLA on the trained ckpt; training uses the fused
+    # backward (within 4% of XLA at batch 4k, and the ONLY path at batch
+    # 16k — XLA's stored activations exceed HBM there). BASELINE.md rows.
+    kernels=KernelConfig(use_pallas=True),
     train=TrainConfig(iters=200_000, batch_rays=4096, precrop_iters=500,
                       # keeps unobserved space empty → tight occupancy box
                       sparsity_weight=1e-4),

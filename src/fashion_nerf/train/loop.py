@@ -35,7 +35,8 @@ def make_fields(cfg: Config, training: bool = False):
     the forward through XLA inside jax.grad — an extra full forward
     (measured: 72.7k → 48.8k rays/s train) for no gradient benefit."""
     _, field = make_field(cfg.model)
-    if cfg.kernels.use_pallas and cfg.kernels.fused_mlp and (
+    from fashion_nerf.kernels import kernels_enabled
+    if kernels_enabled(cfg) and cfg.kernels.fused_mlp and (
             not training or cfg.kernels.fused_backward):
         from fashion_nerf.kernels.posenc_mlp_pallas import make_fused_field
         return make_fused_field(cfg), make_fused_field(cfg)
@@ -189,8 +190,9 @@ def _eval_render_fn(cfg: Config, H: int, W: int, focal: float,
         fc = functools.partial(_eval_field(field_c), params["coarse"])
         ff = (functools.partial(_eval_field(field_f), params["fine"])
               if cfg.sampling.n_fine > 0 else None)
+        from fashion_nerf.kernels import kernels_enabled
         return render_image(fc, ff, H, W, focal, pose, cfg, cond=cond,
-                            use_pallas_render=cfg.kernels.use_pallas
+                            use_pallas_render=kernels_enabled(cfg)
                             and cfg.kernels.fused_render)
 
     return jax.jit(_render)
