@@ -82,6 +82,16 @@ class KernelConfig:
     blockwise: bool = True        # use it for whole-image renders when use_pallas
     block_samples: int = 32       # samples per block (tile = 2048/SB rays)
     early_term_eps: float = 1e-4  # stop marching when transmittance < ε (0 = off)
+    # megakernel (kernels/megakernel_pallas.py): march ALL sample blocks of
+    # a ray tile inside ONE Pallas program — MLP + transmittance carry +
+    # compositing fused, per-block pl.when termination. Implemented to
+    # amortize the measured ~10 µs/program launch overhead (glue_bisect.py),
+    # but the per-program sequencing cost grows with the NB-unrolled body
+    # and eats the savings: live chunk 142 ms vs the two-stage pipeline's
+    # 113 (dead 63 vs 56; 2048-row variant 208/77). Off by default; kept as
+    # the measured §5.7 blockwise-carry design with equivalence tests
+    # (83.6 dB vs two-stage on the trained ckpt).
+    megakernel: bool = False
 
 
 @dataclass(frozen=True)

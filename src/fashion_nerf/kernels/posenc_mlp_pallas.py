@@ -183,10 +183,63 @@ _INTERLEAVE = 4  # independent row-slices per tile so Mosaic can overlap the
 _DEAD_SIGMA = -1e10   # post-relu density 0 ⇒ α = 0 ⇒ zero weight downstream
 
 
+def mlp_rows(plan, L, ws, fmat, off, x, d):
+    """The fused posenc+MLP on a slab of rows, as pure VALUE math (shared by
+    the forward kernel, the backward recompute, and the megakernel).
+
+    x (rows, 3) f32 positions; d (rows, dw) per-sample dir-branch rows.
+    → (rgb (rows, 3) post-sigmoid f32, sigma (rows, 1) raw f32)."""
+    bf = jnp.bfloat16
+    it = iter(ws)
+    # phases in f32 (bf16 sin(2^9·x) would be garbage); cos folded into
+    # the same sin pass via the +π/2 offset half; block-repeat × freq
+    # row keeps this pure-VPU
+    P = pltpu.repeat(x, 2 * L, axis=1) * fmat + off
+    SnCs = jnp.sin(P).astype(bf)     # (rows, 6L): [sin | cos]
+    x_bf = x.astype(bf)
+
+    h = None
+    for tag in plan[:-1]:
+        if tag == "first":
+            Wx, Wsc = next(it), next(it)
+            b = next(it)
+            acc = _mm_trunk(x_bf, Wx) + _mm_trunk(SnCs, Wsc)
+        elif tag == "skip":
+            Wh = next(it)
+            Wx, Wsc = next(it), next(it)
+            b = next(it)
+            acc = _mm_trunk(h, Wh) + _mm_trunk(x_bf, Wx) \
+                + _mm_trunk(SnCs, Wsc)
+        else:
+            Wh = next(it)
+            b = next(it)
+            acc = _mm_trunk(h, Wh)
+        h = jnp.maximum(acc + b.astype(acc.dtype), 0.0).astype(bf)
+
+    if plan[-1] == "heads_vd":
+        w_sig, b_sig = next(it), next(it)
+        w_feat, b_feat = next(it), next(it)
+        Wf = next(it)
+        b_v = next(it)
+        w_rgb, b_rgb = next(it), next(it)
+
+        sigma = (_mm(h, w_sig) + b_sig)[:, :1]           # padded → (rows,1)
+        feat = (_mm(h, w_feat) + b_feat).astype(bf)
+        # d = precomputed per-ray γ(d)@W_dir, expanded per sample
+        h2 = _mm(feat, Wf) + d.astype(jnp.float32) + b_v
+        h2 = jnp.maximum(h2, 0.0).astype(bf)
+        rgb = jax.nn.sigmoid((_mm(h2, w_rgb) + b_rgb)[:, :3])
+    else:
+        w_o, b_o = next(it), next(it)
+        raw = _mm(h, w_o) + b_o                          # padded (rows,128)
+        rgb = jax.nn.sigmoid(raw[:, :3])
+        sigma = raw[:, 3:4]
+    return rgb, sigma
+
+
 def _field_kernel(plan, L, spr, alive_ref, pts_ref, dirpart_ref, fmat_ref,
                   off_ref, *refs):
     *w_refs, rgb_ref, sigma_ref = refs
-    bf = jnp.bfloat16
     ws = [r[:] for r in w_refs]
     T = pts_ref.shape[0]
     half = T // _INTERLEAVE
@@ -206,51 +259,7 @@ def _field_kernel(plan, L, spr, alive_ref, pts_ref, dirpart_ref, fmat_ref,
         ).reshape(half, dblk.shape[-1])
 
     def run_half(x, d):
-        it = iter(ws)
-        # phases in f32 (bf16 sin(2^9·x) would be garbage); cos folded into
-        # the same sin pass via the +π/2 offset half; block-repeat × freq
-        # row keeps this pure-VPU
-        P = pltpu.repeat(x, 2 * L, axis=1) * fmat_ref[:] + off_ref[:]
-        SnCs = jnp.sin(P).astype(bf)     # (T, 6L): [sin | cos]
-        x_bf = x.astype(bf)
-
-        h = None
-        for tag in plan[:-1]:
-            if tag == "first":
-                Wx, Wsc = next(it), next(it)
-                b = next(it)
-                acc = _mm_trunk(x_bf, Wx) + _mm_trunk(SnCs, Wsc)
-            elif tag == "skip":
-                Wh = next(it)
-                Wx, Wsc = next(it), next(it)
-                b = next(it)
-                acc = _mm_trunk(h, Wh) + _mm_trunk(x_bf, Wx) \
-                    + _mm_trunk(SnCs, Wsc)
-            else:
-                Wh = next(it)
-                b = next(it)
-                acc = _mm_trunk(h, Wh)
-            h = jnp.maximum(acc + b.astype(acc.dtype), 0.0).astype(bf)
-
-        if plan[-1] == "heads_vd":
-            w_sig, b_sig = next(it), next(it)
-            w_feat, b_feat = next(it), next(it)
-            Wf = next(it)
-            b_v = next(it)
-            w_rgb, b_rgb = next(it), next(it)
-
-            sigma = (_mm(h, w_sig) + b_sig)[:, :1]           # padded → (T,1)
-            feat = (_mm(h, w_feat) + b_feat).astype(bf)
-            # d = precomputed per-ray γ(d)@W_dir, expanded per sample
-            h2 = _mm(feat, Wf) + d.astype(jnp.float32) + b_v
-            h2 = jnp.maximum(h2, 0.0).astype(bf)
-            rgb = jax.nn.sigmoid((_mm(h2, w_rgb) + b_rgb)[:, :3])
-        else:
-            w_o, b_o = next(it), next(it)
-            raw = _mm(h, w_o) + b_o                          # padded (T,128)
-            rgb = jax.nn.sigmoid(raw[:, :3])
-            sigma = raw[:, 3:4]
-        return rgb, sigma
+        return mlp_rows(plan, L, ws, fmat_ref[:], off_ref[:], x, d)
 
     # per-tile predication — the early-ray-termination lever (VERDICT r1 #2):
     # when every ray in this tile is terminated (transmittance < ε) or culled

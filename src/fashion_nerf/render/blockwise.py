@@ -53,6 +53,66 @@ def _pad_axis(x, mult: int, axis: int, value=0.0):
     return jnp.pad(x, widths, constant_values=value)
 
 
+def _pass_dists(t_vals, dnorm, t_end, SB):
+    """Per-sample integration widths (∞ or t_end on the last) padded to a
+    block multiple with zero-width sentinels, plus padded t."""
+    R, S = t_vals.shape
+    if t_end is None:
+        last = jnp.full((R, 1), _INF_DIST, t_vals.dtype)
+    else:
+        last = jnp.maximum(t_end - t_vals[:, -1:], 0.0)
+    dists = jnp.concatenate([t_vals[:, 1:] - t_vals[:, :-1], last], axis=1)
+    dists = dists * dnorm
+    return _pad_axis(t_vals, SB, 1, 0.0), _pad_axis(dists, SB, 1, 0.0)
+
+
+def _marched_pass_mega(packed, dirpart, rays_o, rays_d, t_vals, dnorm,
+                       alive0, cfg: Config, t_end):
+    """Megakernel variant of _marched_pass: the whole block march runs in
+    one Pallas program per ray tile (kernels/megakernel_pallas.py) — same
+    outputs, no per-block XLA glue or launch overhead."""
+    import math as _math
+
+    from fashion_nerf.kernels.megakernel_pallas import _mega_eval
+
+    R, S = t_vals.shape
+    SB = cfg.kernels.block_samples
+    eps = cfg.kernels.early_term_eps
+    arrs, plan, _ = packed
+    t_pad, d_pad = _pass_dists(t_vals, dnorm, t_end, SB)
+    # eps=0 ⇒ never terminate: the sentinel must undercut the lowest
+    # reachable log T (the per-sample clamp is -23, so ≥ -23·S overall)
+    log_eps = _math.log(eps) if eps > 0 else -1e30
+    hit = alive0.astype(jnp.float32).reshape(R, 1)
+
+    rgb, depth, acc, w, _logT = _mega_eval(
+        arrs, dirpart, rays_o, rays_d, hit, t_pad, d_pad, plan,
+        cfg.model.posenc_xyz, SB,
+        cfg.model.sigma_activation == "softplus", log_eps,
+        interpret=cfg.kernels.interpret)
+
+    weights = w[:, :S]
+    if cfg.render.white_bkgd:
+        rgb = rgb + (1.0 - acc[:, None])
+    disp = 1.0 / jnp.maximum(1e-10, depth / jnp.maximum(acc, 1e-10))
+    # executed-block diagnostic, reconstructed exactly: T at block start =
+    # 1 − Σ earlier weights (telescoping of w = T·α), so a (tile, block)
+    # launched iff any of its rays had hit ∧ T > ε there
+    from fashion_nerf.kernels.megakernel_pallas import _MEGA_ROWS
+    NB = t_pad.shape[1] // SB
+    rpt = _MEGA_ROWS // SB
+    cum_w = jnp.cumsum(w, axis=1)
+    t_start = 1.0 - jnp.concatenate(
+        [jnp.zeros((R, 1), jnp.float32), cum_w[:, :-1]], axis=1)
+    eps_f = eps if eps > 0 else 0.0
+    ray_alive = (hit > 0) & (t_start[:, ::SB] > eps_f)     # (R, NB)
+    tile_alive = jnp.max(
+        ray_alive.reshape(R // rpt, rpt, NB).astype(jnp.float32), axis=1)
+    return {"rgb": rgb, "depth": depth, "acc": acc,
+            "weights": weights, "disp": disp,
+            "alive_frac": jnp.mean(tile_alive)}
+
+
 def _marched_pass(eval_block, packed, dirpart, rays_o, rays_d, t_vals,
                   dnorm, alive0, cfg: Config, rpt: int, t_end):
     """March one field pass over sample blocks with a transmittance carry.
@@ -70,15 +130,7 @@ def _marched_pass(eval_block, packed, dirpart, rays_o, rays_d, t_vals,
 
     # per-sample intervals, ∞ (or t_end) on the last — precomputed so block
     # padding can carry zero-width sentinels (α = 0 regardless of σ)
-    if t_end is None:
-        last = jnp.full((R, 1), _INF_DIST, t_vals.dtype)
-    else:
-        last = jnp.maximum(t_end - t_vals[:, -1:], 0.0)
-    dists = jnp.concatenate([t_vals[:, 1:] - t_vals[:, :-1], last], axis=1)
-    dists = dists * dnorm
-
-    t_pad = _pad_axis(t_vals, SB, 1, value=0.0)
-    d_pad = _pad_axis(dists, SB, 1, value=0.0)      # sentinel: zero width
+    t_pad, d_pad = _pass_dists(t_vals, dnorm, t_end, SB)
     NB = t_pad.shape[1] // SB
 
     acc_rgb = jnp.zeros((R, 3), jnp.float32)
@@ -142,6 +194,16 @@ def render_rays_blockwise(params, cfg: Config, rays_o, rays_d, viewdirs,
     rpt = rays_per_tile(cfg.kernels.block_samples)
     assert R % rpt == 0, (R, rpt)
 
+    if cfg.kernels.megakernel:
+        def march(packed, dirpart, t_vals, dnorm, alive0, t_end):
+            return _marched_pass_mega(packed, dirpart, rays_o, rays_d,
+                                      t_vals, dnorm, alive0, cfg, t_end)
+    else:
+        def march(packed, dirpart, t_vals, dnorm, alive0, t_end):
+            return _marched_pass(eval_block, packed, dirpart, rays_o,
+                                 rays_d, t_vals, dnorm, alive0, cfg, rpt,
+                                 t_end)
+
     packed_c = pack(params["coarse"])
     packed_f = pack(params["fine"]) if scfg.n_fine > 0 else None
     dirpart_c = hoist_dirs(packed_c, viewdirs)
@@ -158,8 +220,7 @@ def render_rays_blockwise(params, cfg: Config, rays_o, rays_d, viewdirs,
     key = jax.random.PRNGKey(0)   # unused: eval-mode deterministic sampling
     t_c = stratified_sample(key, near, far, R, scfg.n_coarse,
                             perturb=False, lindisp=scfg.lindisp)
-    out_c = _marched_pass(eval_block, packed_c, dirpart_c, rays_o, rays_d,
-                          t_c, dnorm, alive0, cfg, rpt, t_end)
+    out_c = march(packed_c, dirpart_c, t_c, dnorm, alive0, t_end)
 
     if scfg.n_fine <= 0:
         return {"coarse": out_c, "fine": None}
@@ -170,8 +231,7 @@ def render_rays_blockwise(params, cfg: Config, rays_o, rays_d, viewdirs,
     t_all = jnp.sort(jnp.concatenate([t_c, t_f], axis=-1), axis=-1)
 
     dirpart_f = hoist_dirs(packed_f, viewdirs)
-    out_f = _marched_pass(eval_block, packed_f, dirpart_f, rays_o, rays_d,
-                          t_all, dnorm, alive0, cfg, rpt, t_end)
+    out_f = march(packed_f, dirpart_f, t_all, dnorm, alive0, t_end)
     return {"coarse": out_c, "fine": out_f}
 
 
