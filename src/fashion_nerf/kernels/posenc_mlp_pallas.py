@@ -149,10 +149,13 @@ def pack_params(params, mcfg: ModelConfig):
 # kernel body
 # --------------------------------------------------------------------------
 
-_ACCUM_DTYPE = "float32"   # trunk matmul output dtype: "bfloat16" halves MXU
-                           # output traffic + skips the relu-side casts
-                           # (heads always accumulate f32 — quality path);
-                           # module-level so scripts/kernel_bench.py can sweep
+_ACCUM_DTYPE = "float32"   # trunk matmul output dtype. "bfloat16" is a dead
+                           # end on this toolchain: Mosaic verifies
+                           # 'tpu.matmul acc must be 32-bit' (the MXU pops
+                           # f32), so the halve-output-traffic idea cannot
+                           # be expressed. Module-level for kernel_bench
+                           # sweeps; measured plateau 75-79 TFLOPs-equiv at
+                           # tile 2048, interleave 4-8.
 
 
 def _mm(a, w):
@@ -214,7 +217,13 @@ def mlp_rows(plan, L, ws, fmat, off, x, d):
             Wh = next(it)
             b = next(it)
             acc = _mm_trunk(h, Wh)
-        h = jnp.maximum(acc + b.astype(acc.dtype), 0.0).astype(bf)
+        acc = acc + b.astype(acc.dtype)
+        if acc.dtype == jnp.bfloat16:
+            # compare-free relu: v5e Mosaic rejects bf16 cmpf, so the
+            # bf16-accumulate variant uses (x + |x|)/2
+            h = ((acc + jnp.abs(acc)) * jnp.bfloat16(0.5)).astype(bf)
+        else:
+            h = jnp.maximum(acc, 0.0).astype(bf)
 
     if plan[-1] == "heads_vd":
         w_sig, b_sig = next(it), next(it)
