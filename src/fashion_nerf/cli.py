@@ -103,6 +103,23 @@ def _restored_state(cfg):
     return ckpt_lib.restore(ckpt_dir, tmpl)
 
 
+def _blockwise_render_fn(cfg, params, H, W, focal, occ):
+    """The production fast path for unconditioned whole-image renders:
+    blockwise early-terminated march of the fused field (render/blockwise.py
+    — the same pipeline bench.py measures, 1.19 s vs 2.39 s per 800×800
+    frame on the trained ckpt). None when ineligible (conditioned model,
+    kernels disabled, or non-TPU device → the XLA renderer serves)."""
+    from fashion_nerf.kernels import kernels_enabled
+    if not (kernels_enabled(cfg) and cfg.kernels.blockwise
+            and cfg.kernels.fused_mlp and not cfg.model.conditioned
+            and cfg.model.n_latents == 0 and cfg.sampling.n_fine > 0):
+        return None
+    import jax
+    from fashion_nerf.render.blockwise import render_image_blockwise
+    return jax.jit(lambda pose: render_image_blockwise(
+        params, cfg, H, W, focal, pose, occ=occ))
+
+
 def _maybe_occ(cfg, field, params):
     """Occupancy culling state for a restored model (core/occupancy.py) —
     the render/eval CLIs cull whenever the config enables it (training never
@@ -148,8 +165,13 @@ def _cmd_render(cfg, args):
         frames = jnp.stack(frames)
     else:
         cond = _eval_cond(cfg, state.params, garment)
-        frames = render_path(fc, ff, poses, d["H"], d["W"], d["focal"],
-                             cfg, cond=cond, occ=occ)
+        bw = (None if cond is not None else _blockwise_render_fn(
+            cfg, state.params, d["H"], d["W"], float(d["focal"]), occ))
+        if bw is not None:
+            frames = jnp.stack([bw(jnp.asarray(p))["rgb"] for p in poses])
+        else:
+            frames = render_path(fc, ff, poses, d["H"], d["W"], d["focal"],
+                                 cfg, cond=cond, occ=occ)
     out = os.path.join(cfg.out_dir, cfg.name, "render")
     os.makedirs(out, exist_ok=True)
     import imageio.v2 as imageio
@@ -190,10 +212,15 @@ def _eval_scores(cfg):
            _maybe_occ(cfg, field_c, state.params["coarse"]))
     test_images = d.get("test_images", d["val_image"][None])
     test_poses = d.get("test_poses", np.asarray(d["val_pose"])[None])
+    bw = (None if cond is not None else _blockwise_render_fn(
+        cfg, state.params, d["H"], d["W"], float(d["focal"]), occ))
     scores = []
     for img, pose in zip(test_images, test_poses):
-        out = render_image(fc, ff, d["H"], d["W"], d["focal"],
-                           jnp.asarray(pose), cfg, cond=cond, occ=occ)
+        if bw is not None:
+            out = bw(jnp.asarray(pose))
+        else:
+            out = render_image(fc, ff, d["H"], d["W"], d["focal"],
+                               jnp.asarray(pose), cfg, cond=cond, occ=occ)
         scores.append((float(psnr(out["rgb"], jnp.asarray(img))),
                        float(ssim(out["rgb"], jnp.asarray(img)))))
     mean_psnr = sum(s[0] for s in scores) / len(scores)

@@ -235,11 +235,33 @@ def render_rays_blockwise(params, cfg: Config, rays_o, rays_d, viewdirs,
     return {"coarse": out_c, "fine": out_f}
 
 
+def _tile_order(H: int, W: int, th: int = 8, tw: int = 8):
+    """Row-major ray index permutation that makes each run of th·tw
+    consecutive rays an (th × tw) PIXEL BLOCK instead of a scanline run.
+
+    Early termination and culling predicate whole 64-ray tiles — in
+    scanline order a tile spans 64 pixels of one row, mixing background
+    with surface at every object edge (measured alive_frac 0.76 at 36%
+    box-hit). Square pixel blocks are spatially coherent: background
+    blocks die at block 0, interior blocks saturate together."""
+    import numpy as _np
+    ys = _np.arange(H)
+    xs = _np.arange(W)
+    yy, xx = _np.meshgrid(ys, xs, indexing="ij")
+    key = ((yy // th) * ((W + tw - 1) // tw) + (xx // tw)) * (th * tw) \
+        + (yy % th) * tw + (xx % tw)
+    order = _np.argsort(key.reshape(-1), kind="stable")
+    inv = _np.argsort(order, kind="stable")
+    return order, inv
+
+
 def render_image_blockwise(params, cfg: Config, H: int, W: int, focal, c2w,
                            occ=None):
     """Whole-image blockwise render under ONE jit — the production render
     path when cfg.kernels.use_pallas & blockwise (bench.py headline). Mirrors
-    renderer.render_image's pad/chunk/unchunk contract."""
+    renderer.render_image's pad/chunk/unchunk contract. Rays are permuted
+    into 8×8 pixel blocks (one termination tile each) and the outputs
+    inverse-permuted — see _tile_order."""
     rays_o, rays_d = generate_rays(H, W, focal, c2w)
     rays_o = rays_o.reshape(-1, 3)
     rays_d = rays_d.reshape(-1, 3)
@@ -247,6 +269,14 @@ def render_image_blockwise(params, cfg: Config, H: int, W: int, focal, c2w,
     if cfg.render.ndc:
         rays_o, rays_d = ndc_rays(H, W, focal, 1.0, rays_o, rays_d)
     n = rays_o.shape[0]
+
+    tiled = (H % 8 == 0 and W % 8 == 0)
+    if tiled:
+        order, inv = _tile_order(H, W)
+        order_j = jnp.asarray(order)
+        rays_o = rays_o[order_j]
+        rays_d = rays_d[order_j]
+        viewdirs = viewdirs[order_j]
 
     from fashion_nerf.kernels.posenc_mlp_pallas import make_block_evaluator
     _, _, _, rays_per_tile = make_block_evaluator(cfg)
@@ -298,8 +328,12 @@ def render_image_blockwise(params, cfg: Config, H: int, W: int, focal, c2w,
 
     out = jax.lax.map(render_chunk, (ro, rd, vd))
 
+    inv_j = jnp.asarray(inv) if tiled else None
+
     def unchunk(x):
         flat = x.reshape((n_chunks * chunk,) + x.shape[2:])[:n]
+        if tiled:
+            flat = flat[inv_j]
         return flat.reshape((H, W) + x.shape[2:])
 
     return {k: unchunk(v) for k, v in out.items()}

@@ -37,3 +37,41 @@ def test_override_accumulates():
     p = _parser()
     args = p.parse_args(["train", "--set", "a=1", "--set", "b=2"])
     assert args.overrides == ["a=1", "b=2"]
+
+
+def test_blockwise_render_selection_and_smoke():
+    """The render/eval CLIs route unconditioned whole-image renders through
+    the blockwise fast path exactly when the kernels are usable (r2: the
+    bench measured 1.19 s vs 2.39 s per frame — the CLI must ship the same
+    pipeline, not just the benchmark)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from fashion_nerf.cli import _blockwise_render_fn
+    from fashion_nerf.config import load_config
+    from fashion_nerf.train.state import create_train_state
+
+    # hermetic CPU harness, no interpret → kernels unusable → XLA path
+    cfg = load_config("blender_lego")
+    assert _blockwise_render_fn(cfg, {}, 16, 16, 20.0, None) is None
+
+    # conditioned / latent models never route here (fused field lacks cond)
+    for preset in ("viton_tryon", "dynamic_tryon"):
+        c = load_config(preset, ["kernels.use_pallas=true",
+                                 "kernels.interpret=true"])
+        assert _blockwise_render_fn(c, {}, 16, 16, 20.0, None) is None
+
+    # interpret mode makes the kernels usable on CPU: smoke a tiny render
+    cfg = load_config("blender_lego", [
+        "kernels.use_pallas=true", "kernels.interpret=true",
+        "sampling.n_coarse=32", "sampling.n_fine=32",
+        "render.chunk=4096"])
+    params = jax.device_get(
+        create_train_state(cfg, jax.random.PRNGKey(0)).params)
+    fn = _blockwise_render_fn(cfg, params, 16, 16, 20.0, None)
+    assert fn is not None
+    c2w = np.eye(4, dtype=np.float32)[:3]
+    c2w[2, 3] = 4.0
+    out = fn(jnp.asarray(c2w))
+    assert out["rgb"].shape == (16, 16, 3)
+    assert np.isfinite(np.asarray(out["rgb"])).all()
