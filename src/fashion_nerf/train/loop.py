@@ -350,6 +350,16 @@ def _load_dataset(cfg: Config) -> dict:
         from fashion_nerf.data.tiny import load_tiny
         return load_tiny(cfg.data.root)
     if cfg.data.dataset == "blender":
+        if not cfg.data.root:
+            # hermetic stand-in (no scene data in the harness): the
+            # procedural sphere scene at the lego-extent framing the bench
+            # checkpoint trains on (data/synthetic.py). Point data.root at
+            # a NeRF-synthetic scene dir for real runs.
+            from fashion_nerf.data.synthetic import make_synthetic_scene
+            scene = make_synthetic_scene(n_views=16, H=160, W=160,
+                                         scale=0.5, sharp=80.0)
+            scene.update(H=160, W=160, near=2.0, far=6.0)
+            return scene
         from fashion_nerf.data.blender import load_blender
         return load_blender(cfg.data.root, half_res=cfg.data.half_res,
                             white_bkgd=cfg.render.white_bkgd)
