@@ -102,3 +102,16 @@ def test_llff_loader(llff_dir):
 def test_llff_downsample(llff_dir):
     d = load_llff(llff_dir, factor=2, holdout=3)
     assert d["images"].shape[1:] == (6, 8, 3)
+
+
+def test_blender_hermetic_fallback():
+    """blender_lego must be CLI-drivable with no scene data: empty
+    data.root falls back to the procedural lego-extent scene (r2)."""
+    from fashion_nerf.config import load_config
+    from fashion_nerf.train.loop import _load_dataset
+
+    d = _load_dataset(load_config("blender_lego"))
+    assert d["images"].shape[0] == 16
+    assert d["H"] == d["W"] == 160
+    assert d["val_image"].shape == (160, 160, 3)
+    assert "val_pose" in d and "focal" in d
