@@ -202,6 +202,10 @@ _register(Config(
                             lindisp=False),
     render=RenderConfig(near=0.0, far=1.0, ndc=True, white_bkgd=False,
                         chunk=32768),
+    # NDC space is the ±1 cube: scan that, not the blender world box, if
+    # culling is switched on (occupancy stays off by default here — LLFF
+    # forward-facing frusta rarely have cullable background)
+    occupancy=OccupancyConfig(enabled=False, world_min=-1.0, world_max=1.0),
     kernels=KernelConfig(use_pallas=False),
     train=TrainConfig(iters=200_000, batch_rays=4096),
     data=DataConfig(dataset="llff", llff_factor=8),
