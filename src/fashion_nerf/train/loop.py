@@ -364,6 +364,11 @@ def _load_dataset(cfg: Config) -> dict:
         return load_blender(cfg.data.root, half_res=cfg.data.half_res,
                             white_bkgd=cfg.render.white_bkgd)
     if cfg.data.dataset == "llff":
+        if not cfg.data.root:
+            # hermetic stand-in (same rationale as the blender fallback):
+            # procedural forward-facing scene exercising the NDC path
+            from fashion_nerf.data.synthetic import make_forward_scene
+            return make_forward_scene(n_views=12, H=96, W=128)
         from fashion_nerf.data.llff import load_llff
         return load_llff(cfg.data.root, factor=cfg.data.llff_factor,
                          spherify=cfg.data.llff_spherify)

@@ -115,3 +115,12 @@ def test_blender_hermetic_fallback():
     assert d["H"] == d["W"] == 160
     assert d["val_image"].shape == (160, 160, 3)
     assert "val_pose" in d and "focal" in d
+
+
+def test_llff_hermetic_fallback():
+    from fashion_nerf.config import load_config
+    from fashion_nerf.train.loop import _load_dataset
+
+    d = _load_dataset(load_config("llff_fern"))
+    assert d["near"] == 0.0 and d["far"] == 1.0      # NDC bounds
+    assert d["images"].shape[0] == 12
