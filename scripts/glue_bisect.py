@@ -69,15 +69,15 @@ def main():
     orig = K.make_block_evaluator
 
     def stub_mbe(cfg_):
-        pack, hoist, _eval, rpt = orig(cfg_)
+        pack, hoist, hoist_c, _eval, rpt = orig(cfg_)
 
-        def eval_stub(packed, dirpart, pts, alive):
+        def eval_stub(packed, dirpart, condpart, pts, alive):
             R, SB = pts.shape[0], pts.shape[1]
             s = jnp.sum(pts, axis=-1)
             return (jnp.stack([s, s, s], -1) * 0.1,
                     s * 0.0 - 1.0)           # sigma ≤ 0 → empty space
 
-        return pack, hoist, eval_stub, rpt
+        return pack, hoist, hoist_c, eval_stub, rpt
 
     K.make_block_evaluator = stub_mbe
     BW.make_block_evaluator = stub_mbe

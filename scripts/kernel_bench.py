@@ -54,7 +54,7 @@ def main():
     cfg = load_config("blender_lego")
     mcfg = cfg.model
     params = init_field(jax.random.PRNGKey(0), mcfg)
-    arrs, plan, _dir_kernel = K.pack_params(params, mcfg)
+    arrs, plan, _dir_kernel, _cond_kernel = K.pack_params(params, mcfg)
     arrs = tuple(arrs)
     n = args.rows
     fl_row = flops_per_row(mcfg)

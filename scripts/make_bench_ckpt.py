@@ -56,12 +56,14 @@ def main():
     # still filled the bench frustum edge-to-edge (measured: every ray hit,
     # alive_frac 1.0, blockwise 283k vs XLA 270k rays/s) and culling had
     # nothing to cut; at 1.0 the cluster fills it outright.
-    scale, sharp = 0.5, 80.0
+    # texture=0.6 (r3): high-frequency albedo so the quality floor sits near
+    # real-scene anchors (~30 dB) where the 0.1 dB gate has teeth
+    scale, sharp, texture = 0.5, 80.0, 0.6
     print("scene: procedural spheres "
           f"{args.views} views @ {args.res}x{args.res} "
-          f"(scale={scale}, sharp={sharp})", flush=True)
+          f"(scale={scale}, sharp={sharp}, texture={texture})", flush=True)
     scene = make_synthetic_scene(n_views=args.views, H=args.res, W=args.res,
-                                 scale=scale, sharp=sharp)
+                                 scale=scale, sharp=sharp, texture=texture)
     ds = RayDataset(scene["images"], scene["poses"], scene["focal"],
                     precrop_frac=cfg.train.precrop_frac)
     ds.val_image = scene["val_image"]
@@ -90,6 +92,7 @@ def main():
         "steps": args.steps, "val_psnr": val_psnr,
         "scene": "synthetic_spheres_seed0",
         "scene_scale": scale, "scene_sharp": sharp,
+        "scene_texture": texture,
         "views": args.views, "res": args.res,
         "sparsity_weight": args.sparsity,
         "config": cfg.name,

@@ -21,6 +21,8 @@ sys.path.insert(0, os.path.join(
 
 
 def main():
+    import argparse
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -32,10 +34,17 @@ def main():
     from fashion_nerf.render.renderer import render_image
     from fashion_nerf.train.loop import make_fields
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default="",
+                    help="comma-separated substring filter on row names")
+    ap.add_argument("--gt-cache", default="/tmp/qc_gt.npz",
+                    help="cache file for the analytic GT render")
+    args = ap.parse_args()
+
     H = W = 800
     params, meta = load_flagship()
     print({k: (v.item() if getattr(v, 'ndim', 1) == 0 else str(v))
-           for k, v in meta.items()})
+           for k, v in meta.items()}, flush=True)
 
     focal = 0.5 * W / np.tan(0.5 * 0.6911)
     c2w = np.eye(4, dtype=np.float32)[:3]
@@ -45,6 +54,7 @@ def main():
     from fashion_nerf.data.synthetic import field_np
     scene_scale = float(meta.get("scene_scale", 1.0))
     scene_sharp = float(meta.get("scene_sharp", 25.0))
+    scene_texture = float(meta.get("scene_texture", 0.0))
 
     def strip_view(y0, n_rows, n_samples=512, near=2.0, far=6.0):
         i, j = np.meshgrid(np.arange(W, dtype=np.float32),
@@ -56,7 +66,8 @@ def main():
         rays_o = np.broadcast_to(c2w[:3, -1], rays_d.shape)
         t = np.linspace(near, far, n_samples, dtype=np.float32)
         pts = rays_o[..., None, :] + rays_d[..., None, :] * t[:, None]
-        rgb, sigma = field_np(pts, scale=scene_scale, sharp=scene_sharp)
+        rgb, sigma = field_np(pts, scale=scene_scale, sharp=scene_sharp,
+                              texture=scene_texture)
         delta = (far - near) / (n_samples - 1) * np.linalg.norm(
             rays_d, axis=-1, keepdims=True)
         alpha = 1.0 - np.exp(-sigma * delta)
@@ -67,13 +78,25 @@ def main():
         img = (w[..., None] * rgb).sum(-2) + (1.0 - w.sum(-1)[..., None])
         return np.clip(img, 0, 1).astype(np.float32)
 
-    gt = np.concatenate([strip_view(y0, 50) for y0 in range(0, H, 50)], 0)
+    cache_key = f"{scene_scale}_{scene_sharp}_{scene_texture}"
+    gt = None
+    if args.gt_cache and os.path.exists(args.gt_cache):
+        with np.load(args.gt_cache, allow_pickle=False) as z:
+            if "key" in z.files and str(z["key"]) == cache_key:
+                gt = z["gt"]
+                print(f"(GT from cache {args.gt_cache})", flush=True)
+    if gt is None:
+        gt = np.concatenate([strip_view(y0, 50) for y0 in range(0, H, 50)],
+                            0)
+        if args.gt_cache:
+            np.savez_compressed(args.gt_cache, gt=gt, key=cache_key)
+    print("GT ready", flush=True)
 
-    def render(n_coarse, n_fine, occ_on, blockwise=False):
+    def render(n_coarse, n_fine, occ_on, blockwise=False, extra=()):
         cfg = load_config("blender_lego", [
             f"sampling.n_coarse={n_coarse}", f"sampling.n_fine={n_fine}",
             "occupancy.enabled=true"] + (
-            ["kernels.use_pallas=true"] if blockwise else []))
+            ["kernels.use_pallas=true"] if blockwise else []) + list(extra))
         field_c, field_f = make_fields(cfg)
         fc = functools.partial(field_c, params["coarse"])
         ff = functools.partial(field_f, params["fine"])
@@ -91,30 +114,45 @@ def main():
         float(img[0, 0, 0])   # sync through the tunnel
         return np.asarray(img)
 
-    dense = render(64, 128, occ_on=False)
-    culled = render(64, 128, occ_on=True)
-    fast = render(32, 64, occ_on=True)
-    bw = render(64, 128, occ_on=True, blockwise=True)
-
-    gt_j = jnp.asarray(gt)
-    rows = [
-        ("dense 64+128", dense),
-        ("culled 64+128", culled),
-        ("fast (culled 32+64)", fast),
-        ("blockwise 64+128 eps1e-4", bw),
+    specs = [
+        ("dense 64+128", dict(n_coarse=64, n_fine=128, occ_on=False)),
+        ("culled 64+128", dict(n_coarse=64, n_fine=128, occ_on=True)),
+        ("fast (culled 32+64)", dict(n_coarse=32, n_fine=64, occ_on=True)),
+        ("blockwise 64+128 eps1e-4",
+         dict(n_coarse=64, n_fine=128, occ_on=True, blockwise=True)),
+        ("blockwise 32+64",
+         dict(n_coarse=32, n_fine=64, occ_on=True, blockwise=True)),
+        ("blockwise carry 64+128",
+         dict(n_coarse=64, n_fine=128, occ_on=True, blockwise=True,
+              extra=("kernels.fused_carry=true",))),
+        ("blockwise carry 32+64",
+         dict(n_coarse=32, n_fine=64, occ_on=True, blockwise=True,
+              extra=("kernels.fused_carry=true",))),
+        ("blockwise 64+128 macro=1",
+         dict(n_coarse=64, n_fine=128, occ_on=True, blockwise=True,
+              extra=("occupancy.macro=1",))),
     ]
-    print(f"\n{'path':24s} {'PSNR vs GT':>12s} {'PSNR vs dense':>14s}")
-    for name, img in rows:
+    wanted = [s.strip() for s in args.only.split(",") if s.strip()]
+    gt_j = jnp.asarray(gt)
+    dense = None
+    print(f"\n{'path':26s} {'PSNR vs GT':>12s} {'PSNR vs dense':>14s}",
+          flush=True)
+    d_gt = None
+    for name, kw in specs:
+        if wanted and not any(w in name for w in wanted) \
+                and name != "dense 64+128":
+            continue
+        img = render(**kw)
         vs_gt = float(psnr(jnp.asarray(img), gt_j))
+        if name == "dense 64+128":
+            dense, d_gt = img, vs_gt
+            print(f"{name:26s} {vs_gt:12.2f} {'—':>14s}", flush=True)
+            continue
         vs_dense = (float(psnr(jnp.asarray(img), jnp.asarray(dense)))
-                    if img is not dense else float("inf"))
-        print(f"{name:24s} {vs_gt:12.2f} {vs_dense:14.2f}")
-    d_gt = float(psnr(jnp.asarray(dense), gt_j))
-    f_gt = float(psnr(jnp.asarray(fast), gt_j))
-    b_gt = float(psnr(jnp.asarray(bw), gt_j))
-    print(f"\nPSNR-vs-GT delta (fast - dense):      {f_gt - d_gt:+.3f} dB")
-    print(f"PSNR-vs-GT delta (blockwise - dense): {b_gt - d_gt:+.3f} dB "
-          f"(gate: > -0.1 dB)")
+                    if dense is not None else float("nan"))
+        delta = (vs_gt - d_gt) if d_gt is not None else float("nan")
+        print(f"{name:26s} {vs_gt:12.2f} {vs_dense:14.2f}   "
+              f"delta-vs-dense {delta:+.3f} dB", flush=True)
 
 
 if __name__ == "__main__":

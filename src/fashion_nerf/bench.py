@@ -34,10 +34,22 @@ def _bench_params(cfg: Config):
     loaded = load_flagship()
     if loaded is None:
         return params, False
-    trained, _meta = loaded
-    shapes_match = jax.tree_util.tree_all(jax.tree_util.tree_map(
-        lambda a, b: a.shape == b.shape, params, trained))
-    if not shapes_match:
+    trained, meta = loaded
+    # the asset is only a trained checkpoint FOR the config it was trained
+    # under — llff_fern shares tree structure with blender weights but lives
+    # in NDC space, where blender-world σ statistics are meaningless
+    # (ADVICE r2); unknown-provenance assets (no config meta) are rejected too
+    if str(meta.get("config", "")) != cfg.name:
+        return params, False
+    # key-path + shape comparison: tree_map raises on STRUCTURE mismatch
+    # (e.g. tiny_lego has no fine net, try-on presets add encoder/latents),
+    # so flatten both sides first (ADVICE r2 — 3 of 5 presets crashed here)
+    flat_p = {jax.tree_util.keystr(k): v.shape for k, v in
+              jax.tree_util.tree_leaves_with_path(params)}
+    flat_t = {jax.tree_util.keystr(k): v.shape for k, v in
+              jax.tree_util.tree_leaves_with_path(trained)}
+    if flat_p.keys() != flat_t.keys() or any(
+            flat_p[k] != flat_t[k] for k in flat_p):
         return params, False
     return trained, True
 
@@ -58,6 +70,14 @@ def run_bench(cfg: Config, H: int = 800, W: int = 800, warmup: int = 1,
     c2w = np.eye(4, dtype=np.float32)[:3]
     c2w[2, 3] = 4.0
 
+    # conditioned/latent presets need the per-scene cond vector (procedural
+    # garment stack — the same stand-in train/eval use); None otherwise
+    cond = None
+    if cfg.model.conditioned or cfg.model.n_latents > 0:
+        from fashion_nerf.train.loop import _eval_cond, resolve_garment
+        garment = resolve_garment(cfg, {}, 64, 64)
+        cond = _eval_cond(cfg, params, garment)
+
     occ = None
     if cfg.occupancy.enabled and trained:
         # one-time lattice sweep against the trained fine field (the culling
@@ -68,16 +88,17 @@ def run_bench(cfg: Config, H: int = 800, W: int = 800, warmup: int = 1,
                if cfg.sampling.n_fine > 0
                else build_jit(cfg, field_c, params["coarse"]))
 
-    blockwise = enabled and cfg.kernels.blockwise and cfg.kernels.fused_mlp
+    blockwise = (enabled and cfg.kernels.blockwise and cfg.kernels.fused_mlp
+                 and cfg.sampling.n_fine > 0)
     if blockwise:
         # the production fast path: fused field blocks + per-tile
         # early-termination/culling skips (render/blockwise.py)
         from fashion_nerf.render.blockwise import render_image_blockwise
         render = jax.jit(lambda pose: render_image_blockwise(
-            params, cfg, H, W, focal, pose, occ=occ)["rgb"])
+            params, cfg, H, W, focal, pose, occ=occ, cond=cond)["rgb"])
     else:
         render = jax.jit(lambda pose: render_image(
-            fc, ff, H, W, focal, pose, cfg,
+            fc, ff, H, W, focal, pose, cfg, cond=cond,
             use_pallas_render=use_pallas, occ=occ)["rgb"])
 
     pose = jnp.asarray(c2w)

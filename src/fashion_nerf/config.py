@@ -54,11 +54,21 @@ class OccupancyConfig:
     """Empty-space culling from a trained field (core/occupancy.py). Built
     once at render/eval/bench setup; training is unaffected. The sample-work
     reduction it buys is the only road to the 10M rays/s north star
-    (BASELINE.json:5 — dense 256-eval rendering caps at ~650k rays/s on v5e)."""
+    (BASELINE.json:5 — dense 256-eval rendering caps at ~650k rays/s on v5e).
+
+    Caveat for pre-existing checkpoints (ADVICE r2): culling assumes the
+    field was trained with the sparsity prior (train.sparsity_weight > 0) so
+    out-of-box density is genuinely junk. Checkpoints trained WITHOUT it can
+    carry real low-σ fog outside the box (~0.6 dB measured) — score those
+    with `--set occupancy.enabled=false`."""
     enabled: bool = False
     resolution: int = 64          # lattice cells per axis (one-time G³ σ sweep)
     sigma_threshold: float = 1e-2  # post-activation density for "occupied"
     margin_cells: int = 1         # conservative AABB dilation
+    # macro³ sub-AABBs of the grid for per-(ray, block) culling in the
+    # blockwise march (r3, VERDICT r2 #2): interior empty blocks between
+    # objects die, not just pre/post-box ones. 1 = global box only.
+    macro: int = 4
     # scan box (world units; NDC configs should use ±1). The culling AABB
     # tightens to occupied cells inside it, so loose bounds are safe.
     world_min: float = -2.0
@@ -82,6 +92,13 @@ class KernelConfig:
     blockwise: bool = True        # use it for whole-image renders when use_pallas
     block_samples: int = 32       # samples per block (tile = 2048/SB rays)
     early_term_eps: float = 1e-4  # stop marching when transmittance < ε (0 = off)
+    # carry-in-VMEM block march (kernels/blockmarch_pallas.py, r3): one
+    # program per (ray tile, sample block), transmittance carry + composited
+    # accumulators persisted in VMEM output windows — the per-block XLA
+    # glue (carry update, pts build, rgb/σ HBM round-trips) moves in-kernel.
+    # The middle point between the two-stage pipeline and the rejected
+    # megakernel (VERDICT r2 next #1b).
+    fused_carry: bool = False
     # megakernel (kernels/megakernel_pallas.py): march ALL sample blocks of
     # a ray tile inside ONE Pallas program — MLP + transmittance carry +
     # compositing fused, per-block pl.when termination. Implemented to
@@ -115,12 +132,28 @@ class TrainConfig:
     # culling/early termination (measured: box → whole world at r2 bring-up).
     sparsity_weight: float = 0.0
     sparsity_points: int = 1024   # random world points per step
+    # occupancy-accelerated training (r3, NerfAcc's headline pattern —
+    # VERDICT r2 #3): after occ_warmup steps, refresh a culling grid from
+    # the live fields every occ_refresh_every steps and train most steps
+    # with a REDUCED budget (occ_coarse+occ_fine) concentrated inside
+    # per-ray occupied ranges; every occ_dense_every-th step runs the full
+    # dense budget over [near, far] so unmodeled content keeps a gradient
+    # path. Requires sparsity_weight > 0 (junk-free grids).
+    occ_train: bool = False
+    occ_refresh_every: int = 500
+    occ_warmup: int = 1000
+    occ_dense_every: int = 8
+    occ_coarse: int = 32          # reduced budget inside tight ranges
+    occ_fine: int = 64
 
 
 @dataclass(frozen=True)
 class DataConfig:
     dataset: str = "tiny"         # tiny | blender | llff | viton
     root: str = ""
+    # streaming path for ray sets that exceed HBM: host-side batch gather +
+    # double-buffered prefetch_to_device instead of device-resident rays
+    stream: bool = False
     half_res: bool = False
     llff_factor: int = 8
     llff_spherify: bool = False
@@ -206,7 +239,10 @@ _register(Config(
     # culling is switched on (occupancy stays off by default here — LLFF
     # forward-facing frusta rarely have cullable background)
     occupancy=OccupancyConfig(enabled=False, world_min=-1.0, world_max=1.0),
-    kernels=KernelConfig(use_pallas=False),
+    # r3: Pallas substrate by default on every acceptance preset
+    # (VERDICT r2 #4); early termination still pays on forward-facing
+    # scenes once transmittance saturates
+    kernels=KernelConfig(use_pallas=True),
     train=TrainConfig(iters=200_000, batch_rays=4096),
     data=DataConfig(dataset="llff", llff_factor=8),
 ))
@@ -217,7 +253,10 @@ _register(Config(
     model=ModelConfig(conditioned=True, condition_dim=64),
     sampling=SamplingConfig(n_coarse=64, n_fine=128),
     render=RenderConfig(near=2.0, far=6.0, white_bkgd=True, chunk=16384),
-    kernels=KernelConfig(use_pallas=False),
+    # r3: conditioning is fused into the Pallas field (the cond rows of
+    # trunk_0/skip are hoisted per ray like the view branch), so the try-on
+    # half of the mission runs the TPU-native substrate (VERDICT r2 #4)
+    kernels=KernelConfig(use_pallas=True),
     train=TrainConfig(iters=100_000, batch_rays=2048),
     data=DataConfig(dataset="viton"),
 ))
@@ -229,7 +268,8 @@ _register(Config(
                       n_latents=64, latent_dim=32),
     sampling=SamplingConfig(n_coarse=64, n_fine=128),
     render=RenderConfig(near=2.0, far=6.0, white_bkgd=True, chunk=16384),
-    kernels=KernelConfig(use_pallas=False),
+    # r3: fused cond path (garment code ⊕ per-frame latent) — see viton_tryon
+    kernels=KernelConfig(use_pallas=True),
     train=TrainConfig(iters=100_000, batch_rays=2048),
     # hermetic default (procedural multi-view scene with per-frame latents);
     # point data.root at a real capture for production runs

@@ -33,18 +33,27 @@ class OccupancyState(NamedTuple):
     """Per-trained-model culling state passed through the renderer.
 
     box_min/box_max: (3,) tight world-space AABB of occupied cells (with a
-    conservative one-cell margin). grid: (G,G,G) bool occupancy, retained for
-    diagnostics and finer-grained future culling.
+    conservative one-cell margin). grid: (G,G,G) bool occupancy (diagnostics
+    + macro-box reduction). boxes_min/boxes_max/boxes_occ: (K,3)/(K,3)/(K,)
+    — K = macro³ tight sub-AABBs of occupied cells inside each macro cell
+    of a macro×macro×macro partition of the grid (VERDICT r2 #2: per-block
+    culling uses the GRID, not just its global box — interior empty space
+    between objects dies too). boxes_occ False ⇒ that macro cell is empty
+    and its box rows are garbage; consumers must mask.
     """
     box_min: jax.Array
     box_max: jax.Array
     grid: jax.Array
+    boxes_min: jax.Array
+    boxes_max: jax.Array
+    boxes_occ: jax.Array
 
 
 def build_occupancy(field: Callable, world_min, world_max,
                     resolution: int = 64, sigma_threshold: float = 1e-2,
                     margin_cells: int = 1, chunk: int = 65536,
-                    sigma_activation: str = "relu") -> OccupancyState:
+                    sigma_activation: str = "relu",
+                    macro: int = 4) -> OccupancyState:
     """Sample σ on a G³ lattice of cell centers and reduce to culling state.
 
     Args:
@@ -109,7 +118,52 @@ def build_occupancy(field: Callable, world_min, world_max,
     # box so culling is a no-op rather than wrong
     box_min = jnp.where(any_occ, box_min, world_min)
     box_max = jnp.where(any_occ, box_max, world_max)
-    return OccupancyState(box_min=box_min, box_max=box_max, grid=grid)
+    bmin, bmax, bocc = _macro_boxes(grid, world_min, cell, g, max(macro, 1),
+                                    margin_cells, any_occ,
+                                    jnp.where(any_occ, box_min, world_min),
+                                    jnp.where(any_occ, box_max, world_max))
+    return OccupancyState(box_min=box_min, box_max=box_max, grid=grid,
+                          boxes_min=bmin, boxes_max=bmax, boxes_occ=bocc)
+
+
+def _macro_boxes(grid, world_min, cell, g: int, k: int, margin_cells: int,
+                 any_occ, fallback_min, fallback_max):
+    """Reduce the (g,g,g) grid to k³ macro cells, each with a tight sub-AABB
+    of its occupied cells (masked index reductions — no gathers, SURVEY.md
+    §2.1 TPU discipline). Empty macro cells get boxes_occ=False. A fully
+    empty grid degrades to ONE full-extent box so multi-box culling is a
+    no-op rather than wrong (mirrors the global-AABB fallback)."""
+    assert g % k == 0, (g, k)
+    m = g // k                                     # cells per macro side
+    if margin_cells > 0:
+        # conservative dilation BEFORE the macro partition, so margins cross
+        # macro boundaries (a surface at a boundary keeps its halo in the
+        # neighbor box); per-box clipped margins would lose it
+        w = 2 * margin_cells + 1
+        grid = jax.lax.reduce_window(
+            grid, False, jax.lax.bitwise_or, (w, w, w), (1, 1, 1), "SAME")
+    sub = grid.reshape(k, m, k, m, k, m)
+    occ_k = jnp.any(sub, axis=(1, 3, 5)).reshape(-1)            # (K,)
+    lo_list, hi_list = [], []
+    for d, ax in enumerate((1, 3, 5)):
+        ids = jax.lax.broadcasted_iota(jnp.int32, (k, m, k, m, k, m), ax)
+        lo = jnp.min(jnp.where(sub, ids, m), axis=(1, 3, 5))    # (k,k,k)
+        hi = jnp.max(jnp.where(sub, ids, -1), axis=(1, 3, 5))
+        base = jax.lax.broadcasted_iota(jnp.int32, (k, k, k), d) * m
+        lo_list.append((base + jnp.clip(lo, 0, m)).reshape(-1))
+        hi_list.append((base + jnp.clip(hi + 1, 0, m)).reshape(-1))
+    lo_i = jnp.stack(lo_list, axis=-1)                           # (K, 3)
+    hi_i = jnp.stack(hi_list, axis=-1)
+    bmin = world_min[None, :] + cell[None, :] * lo_i.astype(jnp.float32)
+    bmax = world_min[None, :] + cell[None, :] * hi_i.astype(jnp.float32)
+    # degenerate fallback: one box spanning the global AABB, rest disabled
+    first = jnp.zeros((bmin.shape[0],), bool).at[0].set(True)
+    bmin = jnp.where(any_occ, bmin,
+                     jnp.broadcast_to(fallback_min, bmin.shape))
+    bmax = jnp.where(any_occ, bmax,
+                     jnp.broadcast_to(fallback_max, bmax.shape))
+    bocc = jnp.where(any_occ, occ_k, first)
+    return bmin, bmax, bocc
 
 
 def build_from_config(cfg, field: Callable) -> OccupancyState:
@@ -121,7 +175,8 @@ def build_from_config(cfg, field: Callable) -> OccupancyState:
         resolution=ocfg.resolution,
         sigma_threshold=ocfg.sigma_threshold,
         margin_cells=ocfg.margin_cells,
-        sigma_activation=cfg.model.sigma_activation)
+        sigma_activation=cfg.model.sigma_activation,
+        macro=ocfg.macro)
 
 
 def build_jit(cfg, field: Callable, params) -> OccupancyState:
@@ -162,6 +217,39 @@ def ray_aabb_intersect(rays_o, rays_d, box_min, box_max, near, far):
     t_lo = jnp.where(hit, t_lo, far)
     t_hi = jnp.where(hit, t_hi, far)
     return t_lo, t_hi, hit
+
+
+def ray_multi_aabb(rays_o, rays_d, occ: OccupancyState, near, far):
+    """Slab-test rays against the K occupied macro boxes (VERDICT r2 #2).
+
+    Vectorized (R, K) pure math — no gathers, no per-box loop. Returns:
+      t_lo, t_hi: (R,) the UNION interval over hit boxes (tighter than the
+        global AABB for non-convex / multi-object scenes), clipped to
+        [near, far]; misses get t_lo == t_hi == far.
+      hit: (R,) bool — any occupied box hit.
+      seg_lo, seg_hi, seg_hit: (R, K) per-box entry/exit/hit, consumed by
+        the blockwise march's per-(ray, block) interval test: a sample block
+        whose t-range overlaps NO occupied box skips its field eval (σ there
+        is ≤ the grid threshold by construction — the same soundness
+        argument as global-AABB culling, applied to interior gaps).
+    """
+    inv = 1.0 / jnp.where(jnp.abs(rays_d) < 1e-10,
+                          jnp.where(rays_d < 0, -1e-10, 1e-10), rays_d)
+    t0 = (occ.boxes_min[None, :, :] - rays_o[:, None, :]) * inv[:, None, :]
+    t1 = (occ.boxes_max[None, :, :] - rays_o[:, None, :]) * inv[:, None, :]
+    t_near = jnp.max(jnp.minimum(t0, t1), axis=-1)              # (R, K)
+    t_far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    near = jnp.asarray(near, jnp.float32)
+    far = jnp.asarray(far, jnp.float32)
+    seg_lo = jnp.clip(t_near, near, far)
+    seg_hi = jnp.clip(t_far, near, far)
+    seg_hit = (seg_hi > seg_lo) & occ.boxes_occ[None, :]
+    hit = jnp.any(seg_hit, axis=1)
+    t_lo = jnp.min(jnp.where(seg_hit, seg_lo, far), axis=1)
+    t_hi = jnp.max(jnp.where(seg_hit, seg_hi, near), axis=1)
+    t_lo = jnp.where(hit, t_lo, far)
+    t_hi = jnp.where(hit, t_hi, far)
+    return t_lo, t_hi, hit, seg_lo, seg_hi, seg_hit
 
 
 def cull_background(out: dict, hit, white_bkgd: bool) -> dict:

@@ -87,18 +87,35 @@ class RayDataset:
 
 
 def sample_batch(all_rays: dict, key, batch_rays: int, n_total: int,
-                 crop_idx=None):
-    """Gather a random ray batch entirely on device (called inside jit).
+                 crop_idx=None, step=None, precrop_iters: int = 0):
+    """Gather a random ray batch entirely on device (called inside jit —
+    this IS the train step's gather, train/loop.make_train_step).
 
-    With crop_idx given, indices are drawn from the center-crop subset
-    (precrop warmup, canonical NeRF trick for blender scenes).
+    With crop_idx given, indices come from the center-crop subset (precrop
+    warmup, canonical NeRF trick for blender scenes) — unconditionally when
+    `step` is None, else only while step < precrop_iters (a traced switch,
+    so one jitted step serves both phases).
     """
+    idx = jax.random.randint(key, (batch_rays,), 0, n_total)
     if crop_idx is not None:
-        sel = jax.random.randint(key, (batch_rays,), 0, crop_idx.shape[0])
-        idx = crop_idx[sel]
-    else:
-        idx = jax.random.randint(key, (batch_rays,), 0, n_total)
+        sel = jax.random.randint(jax.random.fold_in(key, 1), (batch_rays,),
+                                 0, crop_idx.shape[0])
+        idx = (crop_idx[sel] if step is None
+               else jnp.where(step < precrop_iters, crop_idx[sel], idx))
     return {k: jnp.take(v, idx, axis=0) for k, v in all_rays.items()}
+
+
+def host_batch_iter(all_rays: dict, batch_rays: int, seed: int = 0):
+    """Host-side random ray batches as numpy — the source feeding
+    prefetch_to_device on the streaming path (cfg.data.stream) for datasets
+    that exceed HBM. Precrop is not supported here (streaming runs resume
+    long after the warmup phase)."""
+    host = {k: np.asarray(v) for k, v in all_rays.items()}
+    n_total = host["rays_o"].shape[0]
+    rng = np.random.default_rng(seed)
+    while True:
+        idx = rng.integers(0, n_total, batch_rays)
+        yield {k: v[idx] for k, v in host.items()}
 
 
 def prefetch_to_device(iterator: Iterator, size: int = 2, sharding=None):

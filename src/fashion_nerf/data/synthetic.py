@@ -35,23 +35,48 @@ _SPHERES = [
     (np.array([-0.3, 0.6, 0.6]), 0.35, np.array([0.55, 0.25, 0.8]), 55.0),
 ]
 
+# per-sphere high-frequency albedo pattern: (freq (3,) rad per CLUSTER unit,
+# phase (3,)). Frequencies sit well inside the L=10 posenc band but give
+# wavelengths of a few pixels at the bench framing, so trained PSNR lands
+# near real-scene anchors (~30 dB) instead of the saturated 44-54 dB the
+# untextured scene gave — a −0.5 dB regression is visible there, invisible
+# at 54 dB (VERDICT r2 weak #4 / next #6).
+_TEXTURES = [
+    (np.array([41.0, 53.0, 47.0]), np.array([0.0, 1.3, 2.1])),
+    (np.array([59.0, 43.0, 67.0]), np.array([0.7, 0.2, 1.9])),
+    (np.array([47.0, 61.0, 37.0]), np.array([2.4, 0.9, 0.3])),
+    (np.array([67.0, 47.0, 53.0]), np.array([1.1, 2.8, 0.6])),
+    (np.array([53.0, 67.0, 59.0]), np.array([0.4, 1.7, 2.9])),
+]
 
-def field_np(pts, scale: float = 1.0, sharp: float = 25.0):
+
+def field_np(pts, scale: float = 1.0, sharp: float = 25.0,
+             texture: float = 0.0):
     """Analytic field: pts (..., 3) → rgb (..., 3), sigma (...).
 
     scale shrinks the whole sphere cluster (object-centric framing — the
     bench scene uses 0.75 so the object covers a lego-like ~40% of the
     800×800 frame instead of filling the frustum); sharp sets the density
     falloff rate (the σ > 0.01 halo extends ln(dens/0.01)/sharp beyond each
-    radius — 0.33 world units at 25, 0.10 at 80)."""
+    radius — 0.33 world units at 25, 0.10 at 80). texture (0..1) modulates
+    each sphere's albedo with a high-frequency tri-axial sine pattern in
+    cluster coordinates (framing-invariant) — the quality-gate hardener."""
     sigma = np.zeros(pts.shape[:-1], np.float32)
     rgb = np.zeros(pts.shape[:-1] + (3,), np.float32)
     wsum = np.zeros(pts.shape[:-1], np.float32)
-    for c, r, col, dens in _SPHERES:
+    q = pts / max(scale, 1e-6)                 # cluster coords
+    for (c, r, col, dens), (freq, phase) in zip(_SPHERES, _TEXTURES):
         d = np.linalg.norm(pts - c * scale, axis=-1)
         occ = dens / (1.0 + np.exp(np.clip(sharp * (d - r * scale), -30, 30)))
+        col_pt = np.broadcast_to(col, pts.shape[:-1] + (3,))
+        if texture > 0.0:
+            pat = (np.sin(freq[0] * q[..., 0] + phase[0])
+                   * np.sin(freq[1] * q[..., 1] + phase[1])
+                   * np.sin(freq[2] * q[..., 2] + phase[2]))
+            col_pt = np.clip(
+                col_pt * (1.0 + texture * pat[..., None]), 0.0, 1.0)
         sigma += occ
-        rgb += occ[..., None] * col
+        rgb += occ[..., None] * col_pt
         wsum += occ
     rgb = rgb / np.maximum(wsum[..., None], 1e-8)
     rgb = np.where(wsum[..., None] > 1e-8, rgb, 1.0)
@@ -59,7 +84,7 @@ def field_np(pts, scale: float = 1.0, sharp: float = 25.0):
 
 
 def _render_view(H, W, focal, c2w, n_samples=128, near=2.0, far=6.0,
-                 white_bkgd=True, scale=1.0, sharp=25.0):
+                 white_bkgd=True, scale=1.0, sharp=25.0, texture=0.0):
     i, j = np.meshgrid(np.arange(W, dtype=np.float32),
                        np.arange(H, dtype=np.float32), indexing="xy")
     dirs = np.stack([(i - W * .5) / focal, -(j - H * .5) / focal,
@@ -68,7 +93,7 @@ def _render_view(H, W, focal, c2w, n_samples=128, near=2.0, far=6.0,
     rays_o = np.broadcast_to(c2w[:3, -1], rays_d.shape)
     t = np.linspace(near, far, n_samples, dtype=np.float32)
     pts = rays_o[..., None, :] + rays_d[..., None, :] * t[:, None]
-    rgb, sigma = field_np(pts, scale=scale, sharp=sharp)
+    rgb, sigma = field_np(pts, scale=scale, sharp=sharp, texture=texture)
     delta = (far - near) / (n_samples - 1) * np.linalg.norm(
         rays_d, axis=-1, keepdims=True)
     alpha = 1.0 - np.exp(-sigma * delta)
@@ -113,11 +138,13 @@ def make_forward_scene(n_views: int = 8, H: int = 48, W: int = 64,
 
 def make_synthetic_scene(n_views: int = 12, H: int = 64, W: int = 64,
                          seed: int = 0, n_samples: int = 128,
-                         scale: float = 1.0, sharp: float = 25.0):
+                         scale: float = 1.0, sharp: float = 25.0,
+                         texture: float = 0.0):
     """→ dict(images (N,H,W,3), poses (N,3,4), focal, near, far, plus a
-    held-out val view). Deterministic for a given seed. scale/sharp shape
-    the object framing (field_np) — the bench checkpoint trains on
-    scale=0.75, sharp=80 so background/occupancy statistics match the
+    held-out val view). Deterministic for a given seed. scale/sharp/texture
+    shape the object framing and appearance (field_np) — the bench
+    checkpoint trains on scale=0.5, sharp=80, texture=0.6 so background/
+    occupancy statistics AND the quality-gate difficulty match the
     NeRF-synthetic scenes the flagship preset stands in for."""
     rng = np.random.default_rng(seed)
     focal = 0.9 * W
@@ -125,11 +152,11 @@ def make_synthetic_scene(n_views: int = 12, H: int = 64, W: int = 64,
     phis = rng.uniform(-40, -20, size=n_views)
     poses = np.stack([_pose_spherical(t, p, 4.0) for t, p in zip(thetas, phis)])
     images = np.stack([_render_view(H, W, focal, p, n_samples,
-                                    scale=scale, sharp=sharp)
+                                    scale=scale, sharp=sharp, texture=texture)
                        for p in poses])
     val_pose = _pose_spherical(33.3, -30.0, 4.0)
     val_image = _render_view(H, W, focal, val_pose, n_samples,
-                             scale=scale, sharp=sharp)
+                             scale=scale, sharp=sharp, texture=texture)
     return {
         "images": images, "poses": poses, "focal": float(focal),
         "val_image": val_image, "val_pose": val_pose,

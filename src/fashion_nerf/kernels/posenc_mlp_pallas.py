@@ -81,16 +81,27 @@ def _split_posenc_kernel(k, L: int, d: int = 3):
 
 
 def pack_params(params, mcfg: ModelConfig):
-    """→ (arrs: list of jnp arrays, plan: static tuple of op tags).
+    """→ (arrs, plan, dir_kernel, cond_kernel).
 
-    plan entries: ("first",) ("skip",) ("plain",) per trunk layer, then
-    ("heads_vd",) or ("heads_plain",).
+    plan entries: ("first",) ("skip",) ("plain",) per trunk layer — with a
+    "_c" suffix on cond-consuming layers when the model is conditioned —
+    then ("heads_vd",) or ("heads_plain",).
+
+    Conditioning (BASELINE.json:10-11, VERDICT r2 #4): the XLA field concats
+    cond (R,Cc) to the trunk input (models/nerf_mlp.py:44-46), so trunk_0 and
+    every skip layer carry Cc extra kernel rows acting on PER-RAY data —
+    exactly like the view branch. Those rows are hoisted out as cond_kernel
+    (Cc, n_cond_layers·W); the XLA-side cond @ cond_kernel product enters
+    the kernel as a per-ray operand expanded per sample in VMEM.
     """
     p = params["params"]
     L = mcfg.posenc_xyz
     cx = 3 * (2 * L + 1)
+    W = mcfg.net_width
     bf = jnp.bfloat16
-    arrs, plan = [], []
+    k0 = p["trunk_0"]["kernel"]
+    Cc = k0.shape[0] - cx                     # cond width baked into params
+    arrs, plan, cond_blocks = [], [], []
 
     def put_b(b):
         arrs.append(jnp.asarray(b, jnp.float32).reshape(1, -1))
@@ -99,16 +110,24 @@ def pack_params(params, mcfg: ModelConfig):
         k = p[f"trunk_{i}"]["kernel"]
         b = p[f"trunk_{i}"]["bias"]
         if i == 0:
-            Wx, Wsc = _split_posenc_kernel(k, L)
+            Wx, Wsc = _split_posenc_kernel(k[:cx], L)
             arrs += [Wx.astype(bf), Wsc.astype(bf)]
             put_b(b)
-            plan.append("first")
-        elif k.shape[0] > mcfg.net_width:          # post-skip: h-part + γ(x)
-            Wh = k[cx:]
+            if Cc > 0:
+                cond_blocks.append(k[cx:cx + Cc])
+                plan.append("first_c")
+            else:
+                plan.append("first")
+        elif k.shape[0] > W:                   # post-skip: trunk_in + h rows
+            Wh = k[cx + Cc:]
             Wx, Wsc = _split_posenc_kernel(k[:cx], L)
             arrs += [Wh.astype(bf), Wx.astype(bf), Wsc.astype(bf)]
             put_b(b)
-            plan.append("skip")
+            if Cc > 0:
+                cond_blocks.append(k[cx:cx + Cc])
+                plan.append("skip_c")
+            else:
+                plan.append("skip")
         else:
             arrs.append(k.astype(bf))
             put_b(b)
@@ -142,7 +161,9 @@ def pack_params(params, mcfg: ModelConfig):
         put_b(pad_cols(p["out_head"]["bias"].reshape(1, -1)))
         plan.append("heads_plain")
 
-    return arrs, tuple(plan), dir_kernel
+    cond_kernel = (jnp.concatenate(cond_blocks, axis=1)
+                   if cond_blocks else None)            # (Cc, n_cond·W) f32
+    return arrs, tuple(plan), dir_kernel, cond_kernel
 
 
 # --------------------------------------------------------------------------
@@ -186,11 +207,14 @@ _INTERLEAVE = 4  # independent row-slices per tile so Mosaic can overlap the
 _DEAD_SIGMA = -1e10   # post-relu density 0 ⇒ α = 0 ⇒ zero weight downstream
 
 
-def mlp_rows(plan, L, ws, fmat, off, x, d):
+def mlp_rows(plan, L, ws, fmat, off, x, d, c=None):
     """The fused posenc+MLP on a slab of rows, as pure VALUE math (shared by
     the forward kernel, the backward recompute, and the megakernel).
 
-    x (rows, 3) f32 positions; d (rows, dw) per-sample dir-branch rows.
+    x (rows, 3) f32 positions; d (rows, dw) per-sample dir-branch rows;
+    c (rows, n_cond·W) per-sample cond-branch rows (the hoisted
+    cond @ cond_kernel product — W-wide slice i feeds cond layer i) when the
+    plan carries "_c" tags.
     → (rgb (rows, 3) post-sigmoid f32, sigma (rows, 1) raw f32)."""
     bf = jnp.bfloat16
     it = iter(ws)
@@ -201,13 +225,16 @@ def mlp_rows(plan, L, ws, fmat, off, x, d):
     SnCs = jnp.sin(P).astype(bf)     # (rows, 6L): [sin | cos]
     x_bf = x.astype(bf)
 
+    W = None
     h = None
+    ci = 0
     for tag in plan[:-1]:
-        if tag == "first":
+        if tag in ("first", "first_c"):
             Wx, Wsc = next(it), next(it)
             b = next(it)
+            W = Wx.shape[1]
             acc = _mm_trunk(x_bf, Wx) + _mm_trunk(SnCs, Wsc)
-        elif tag == "skip":
+        elif tag in ("skip", "skip_c"):
             Wh = next(it)
             Wx, Wsc = next(it), next(it)
             b = next(it)
@@ -217,6 +244,9 @@ def mlp_rows(plan, L, ws, fmat, off, x, d):
             Wh = next(it)
             b = next(it)
             acc = _mm_trunk(h, Wh)
+        if tag.endswith("_c"):
+            acc = acc + c[:, ci * W:(ci + 1) * W].astype(acc.dtype)
+            ci += 1
         acc = acc + b.astype(acc.dtype)
         if acc.dtype == jnp.bfloat16:
             # compare-free relu: v5e Mosaic rejects bf16 cmpf, so the
@@ -246,29 +276,34 @@ def mlp_rows(plan, L, ws, fmat, off, x, d):
     return rgb, sigma
 
 
-def _field_kernel(plan, L, spr, alive_ref, pts_ref, dirpart_ref, fmat_ref,
-                  off_ref, *refs):
+def _field_kernel(plan, L, spr, alive_ref, pts_ref, dirpart_ref, *refs):
+    has_cond = any(t.endswith("_c") for t in plan)
+    if has_cond:
+        condpart_ref, fmat_ref, off_ref, *refs = refs
+    else:
+        condpart_ref = None
+        fmat_ref, off_ref, *refs = refs
     *w_refs, rgb_ref, sigma_ref = refs
     ws = [r[:] for r in w_refs]
     T = pts_ref.shape[0]
     half = T // _INTERLEAVE
 
-    def _dirpart_half(j):
-        # per-RAY dir rows expanded to per-sample in VMEM (ray-major: each
-        # row repeats spr consecutive times), one interleave-half at a time
-        # to stay inside the VMEM budget. Expanding on the host side
+    def _perray_half(ref, j):
+        # per-RAY rows expanded to per-sample in VMEM (ray-major: each row
+        # repeats spr consecutive times), one interleave-half at a time to
+        # stay inside the VMEM budget. Expanding on the host side
         # materializes an (n, 128) bf16 stream — measured ~270 MB of HBM
         # traffic per 1M-row launch, a big slice of the dead-chunk floor.
         if spr == 1:
-            return dirpart_ref[pl.ds(j * half, half), :]
+            return ref[pl.ds(j * half, half), :]
         rows = half // spr
-        dblk = dirpart_ref[pl.ds(j * rows, rows), :]
+        blk = ref[pl.ds(j * rows, rows), :]
         return jnp.broadcast_to(
-            dblk[:, None, :], (rows, spr, dblk.shape[-1])
-        ).reshape(half, dblk.shape[-1])
+            blk[:, None, :], (rows, spr, blk.shape[-1])
+        ).reshape(half, blk.shape[-1])
 
-    def run_half(x, d):
-        return mlp_rows(plan, L, ws, fmat_ref[:], off_ref[:], x, d)
+    def run_half(x, d, c):
+        return mlp_rows(plan, L, ws, fmat_ref[:], off_ref[:], x, d, c)
 
     # per-tile predication — the early-ray-termination lever (VERDICT r1 #2):
     # when every ray in this tile is terminated (transmittance < ε) or culled
@@ -282,7 +317,9 @@ def _field_kernel(plan, L, spr, alive_ref, pts_ref, dirpart_ref, fmat_ref,
     def _run():
         for j in range(_INTERLEAVE):
             sl = pl.ds(j * half, half)
-            rgb, sigma = run_half(pts_ref[sl, :], _dirpart_half(j))
+            c = (_perray_half(condpart_ref, j) if has_cond else None)
+            rgb, sigma = run_half(pts_ref[sl, :], _perray_half(dirpart_ref, j),
+                                  c)
             rgb_ref[sl, :] = rgb
             sigma_ref[sl, :] = sigma
 
@@ -301,16 +338,19 @@ def _field_kernel(plan, L, spr, alive_ref, pts_ref, dirpart_ref, fmat_ref,
 @functools.partial(jax.jit,
                    static_argnames=("plan", "L", "interpret", "spr"))
 def _fused_eval(weight_arrs, pts_flat, dirpart_flat, plan, L,
-                interpret=False, alive=None, spr=1):
-    """spr (samples per ray): when >1, dirpart_flat holds ONE row per ray
-    ((n/spr, dw)) and the kernel expands it per sample in VMEM — the
-    host-side broadcast is ~spr× the HBM traffic."""
+                interpret=False, alive=None, spr=1, condpart_flat=None):
+    """spr (samples per ray): when >1, dirpart_flat/condpart_flat hold ONE
+    row per ray ((n/spr, ·)) and the kernel expands them per sample in VMEM —
+    the host-side broadcast is ~spr× the HBM traffic. condpart_flat: the
+    hoisted cond-branch rows, required iff the plan carries "_c" tags."""
     n = pts_flat.shape[0]
     tile = min(_TILE, n)
     assert n % tile == 0, (n, tile)
     # each interleave-half must cover whole rays for the in-kernel expand
     assert tile % (spr * _INTERLEAVE) == 0, (tile, spr)
     grid = (n // tile,)
+    has_cond = any(t.endswith("_c") for t in plan)
+    assert has_cond == (condpart_flat is not None), plan
     if alive is None:
         alive = jnp.ones((n // tile, 1), jnp.float32)
     assert alive.shape == (n // tile, 1), (alive.shape, n, tile)
@@ -329,17 +369,21 @@ def _fused_eval(weight_arrs, pts_flat, dirpart_flat, plan, L,
         return pl.BlockSpec(a.shape, lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
 
+    def _perray(a):
+        return pl.BlockSpec((tile // spr, a.shape[1]),
+                            lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    cond_inputs = (condpart_flat,) if has_cond else ()
     in_specs = [
         pl.BlockSpec(alive.shape, lambda i: (0, 0),
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile // spr, dirpart_flat.shape[1]),
-                     lambda i: (i, 0), memory_space=pltpu.VMEM),
+        _perray(dirpart_flat),
+    ] + [_perray(a) for a in cond_inputs] + [
         _const2d(fmat),
         _const2d(foff),
     ] + [_const2d(a) for a in weight_arrs]
 
-    cx = 3 * (2 * L + 1)
     flops_row = 2 * 0.53e6  # ~per-sample MLP FLOPs, close enough for sched
     rgb, sigma = pl.pallas_call(
         kernel,
@@ -361,33 +405,32 @@ def _fused_eval(weight_arrs, pts_flat, dirpart_flat, plan, L,
             transcendentals=int(n * (6 * L + 3)),
         ),
         interpret=interpret,
-    )(alive, pts_flat, dirpart_flat, fmat, foff, *weight_arrs)
+    )(alive, pts_flat, dirpart_flat, *cond_inputs, fmat, foff, *weight_arrs)
     return rgb, sigma
 
 
 def make_fused_field(cfg: Config):
     """Field fn with the models/ convention:
-    field(params, pts (R,S,3), viewdirs (R,3), cond) → (rgb, sigma).
+    field(params, pts (R,S,3), viewdirs (R,3), cond (R,Cc)|None)
+    → (rgb, sigma).
 
-    Conditioned inputs fall back to the XLA field (fused conditioning lands
-    with the try-on phase); gradients flow via custom VJP (XLA recompute).
+    Conditioned inputs run the same fused kernel (VERDICT r2 #4): the cond
+    rows of trunk_0/skip kernels act on per-ray data, so cond @ cond_kernel
+    is hoisted to XLA exactly like the view branch and enters as a per-ray
+    operand. Gradients flow via the Pallas VJP (or XLA recompute fallback).
     """
     mcfg = cfg.model
     interpret = cfg.kernels.interpret
     from fashion_nerf.models.nerf_mlp import make_field
     _, xla_field = make_field(mcfg)
 
-    @jax.custom_vjp
-    def field_core(params, pts, viewdirs):
-        return _fused_forward(params, pts, viewdirs)
-
-    def _fused_forward(params, pts, viewdirs):
+    def _fused_forward(params, pts, viewdirs, cond):
         R, S = pts.shape[0], pts.shape[1]
         n = R * S
         tile = min(_TILE, n)
         pad = (-n) % tile
         pts_flat = pts.reshape(n, 3)
-        arrs, plan, dir_kernel = pack_params(params, mcfg)
+        arrs, plan, dir_kernel, cond_kernel = pack_params(params, mcfg)
         if mcfg.use_viewdirs:
             # per-RAY view-branch contribution, computed once in XLA and
             # expanded per sample (in-kernel per-sample dir work is 64×
@@ -402,37 +445,72 @@ def make_fused_field(cfg: Config):
                 (R, S, dirpart.shape[-1])).reshape(n, -1)
         else:
             dirpart_flat = jnp.zeros((n, 128), jnp.bfloat16)
+        condpart_flat = None
+        if cond is not None:
+            assert cond_kernel is not None, \
+                "cond passed but params carry no cond rows"
+            condpart = jnp.dot(cond, cond_kernel,
+                               preferred_element_type=jnp.float32)
+            condpart_flat = jnp.broadcast_to(
+                condpart.astype(jnp.bfloat16)[:, None, :],
+                (R, S, condpart.shape[-1])).reshape(n, -1)
         if pad:
             pts_flat = jnp.pad(pts_flat, ((0, pad), (0, 0)))
             dirpart_flat = jnp.pad(dirpart_flat, ((0, pad), (0, 0)))
+            if condpart_flat is not None:
+                condpart_flat = jnp.pad(condpart_flat, ((0, pad), (0, 0)))
         rgb, sigma = _fused_eval(tuple(arrs), pts_flat, dirpart_flat, plan,
-                                 mcfg.posenc_xyz, interpret)
+                                 mcfg.posenc_xyz, interpret,
+                                 condpart_flat=condpart_flat)
         rgb = rgb[:n].reshape(R, S, 3)
         sigma = sigma[:n, 0].reshape(R, S)
         return rgb, sigma
 
+    @jax.custom_vjp
+    def field_core(params, pts, viewdirs):
+        return _fused_forward(params, pts, viewdirs, None)
+
     def _fwd(params, pts, viewdirs):
-        out = _fused_forward(params, pts, viewdirs)
+        out = _fused_forward(params, pts, viewdirs, None)
         return out, (params, pts, viewdirs)
 
     def _bwd(res, g):
         params, pts, viewdirs = res
         if cfg.kernels.fused_backward:
-            return _pallas_backward(params, pts, viewdirs, g[0], g[1],
-                                    mcfg, interpret)
+            grads, d_pts, d_vd, _ = _pallas_backward(
+                params, pts, viewdirs, None, g[0], g[1], mcfg, interpret)
+            return grads, d_pts, d_vd
         _, vjp = jax.vjp(lambda p, x, d: xla_field(p, x, d, None),
                          params, pts, viewdirs)
         return vjp(g)
 
     field_core.defvjp(_fwd, _bwd)
 
+    @jax.custom_vjp
+    def field_core_cond(params, pts, viewdirs, cond):
+        return _fused_forward(params, pts, viewdirs, cond)
+
+    def _fwd_c(params, pts, viewdirs, cond):
+        out = _fused_forward(params, pts, viewdirs, cond)
+        return out, (params, pts, viewdirs, cond)
+
+    def _bwd_c(res, g):
+        params, pts, viewdirs, cond = res
+        if cfg.kernels.fused_backward:
+            return _pallas_backward(params, pts, viewdirs, cond, g[0], g[1],
+                                    mcfg, interpret)
+        _, vjp = jax.vjp(xla_field, params, pts, viewdirs, cond)
+        return vjp(g)
+
+    field_core_cond.defvjp(_fwd_c, _bwd_c)
+
     def field(params, pts, viewdirs=None, cond=None):
-        if cond is not None:
-            return xla_field(params, pts, viewdirs, cond)
         if viewdirs is None:
             if mcfg.use_viewdirs:
                 raise ValueError("use_viewdirs=True requires viewdirs")
             viewdirs = jnp.ones((pts.shape[0], 3), jnp.float32)
+        if cond is not None:
+            return field_core_cond(params, pts, viewdirs, cond)
         return field_core(params, pts, viewdirs)
 
     return field
@@ -443,13 +521,15 @@ def make_block_evaluator(cfg: Config):
     (render/blockwise.py): evaluates the fused field on ONE sample-block of
     every ray, with per-tile alive predication.
 
-    Returns (pack, hoist_dirs, eval_block, rays_per_tile):
+    Returns (pack, hoist_dirs, hoist_cond, eval_block, rays_per_tile):
       pack(params) → packed — weight arrays + static plan, once per image.
       hoist_dirs(packed, viewdirs (R,3)) → dirpart (R,128) bf16 — the
         per-ray view-branch contribution, ONCE per chunk/pass (reused across
         blocks; recomputing it per block would redo the γ(d) matmul NB×).
-      eval_block(packed, dirpart, pts (R,SB,3), alive (n_tiles,1) f32)
-        → (rgb (R,SB,3), sigma (R,SB)).
+      hoist_cond(packed, cond (R,Cc)|None) → condpart (R, n_cond·W) bf16 or
+        None — the per-ray cond-branch contribution (same hoist pattern).
+      eval_block(packed, dirpart, condpart, pts (R,SB,3),
+                 alive (n_tiles,1) f32) → (rgb (R,SB,3), sigma (R,SB)).
         Rows are ray-major (SB consecutive rows per ray); tile t covers rays
         [t·rays_per_tile(SB), (t+1)·rays_per_tile(SB)) — alive[t] ≤ 0 skips
         that tile's entire MXU workload and writes exact-zero-weight
@@ -460,11 +540,11 @@ def make_block_evaluator(cfg: Config):
     interpret = cfg.kernels.interpret
 
     def pack(params):
-        arrs, plan, dir_kernel = pack_params(params, mcfg)
-        return (tuple(arrs), plan, dir_kernel)
+        arrs, plan, dir_kernel, cond_kernel = pack_params(params, mcfg)
+        return (tuple(arrs), plan, dir_kernel, cond_kernel)
 
     def hoist_dirs(packed, viewdirs):
-        _, _, dir_kernel = packed
+        dir_kernel = packed[2]
         R = viewdirs.shape[0]
         if mcfg.use_viewdirs:
             d_unit = viewdirs / jnp.linalg.norm(viewdirs, axis=-1,
@@ -475,24 +555,34 @@ def make_block_evaluator(cfg: Config):
                            ).astype(jnp.bfloat16)             # (R, 128)
         return jnp.zeros((R, 128), jnp.bfloat16)
 
-    def eval_block(packed, dirpart, pts, alive):
-        arrs, plan, _ = packed
+    def hoist_cond(packed, cond):
+        cond_kernel = packed[3]
+        if cond is None:
+            return None
+        assert cond_kernel is not None, \
+            "cond passed but params carry no cond rows"
+        return jnp.dot(cond, cond_kernel,
+                       preferred_element_type=jnp.float32
+                       ).astype(jnp.bfloat16)                 # (R, nc·W)
+
+    def eval_block(packed, dirpart, condpart, pts, alive):
+        arrs, plan = packed[0], packed[1]
         R, SB = pts.shape[0], pts.shape[1]
         n = R * SB
         assert n % _TILE == 0, (R, SB, _TILE)
         pts_flat = pts.reshape(n, 3)
-        # dirpart stays per-RAY ((R, dw)); the kernel expands it per sample
-        # in VMEM (spr=SB) instead of streaming an (n, dw) broadcast
+        # dirpart/condpart stay per-RAY ((R, ·)); the kernel expands them per
+        # sample in VMEM (spr=SB) instead of streaming an (n, ·) broadcast
         rgb, sigma = _fused_eval(arrs, pts_flat, dirpart, plan,
                                  mcfg.posenc_xyz, interpret, alive=alive,
-                                 spr=SB)
+                                 spr=SB, condpart_flat=condpart)
         return rgb.reshape(R, SB, 3), sigma[:, 0].reshape(R, SB)
 
     def rays_per_tile(block_samples: int) -> int:
         assert _TILE % block_samples == 0, (block_samples, _TILE)
         return _TILE // block_samples
 
-    return pack, hoist_dirs, eval_block, rays_per_tile
+    return pack, hoist_dirs, hoist_cond, eval_block, rays_per_tile
 
 
 # --------------------------------------------------------------------------
@@ -530,18 +620,28 @@ def _dx_row(L: int, d: int = 3) -> np.ndarray:
     return m
 
 
-def _field_bwd_kernel(plan, L, n_arrs, pts_ref, dirpart_ref, ga_ref, gb_ref,
-                      fmat_ref, off_ref, rmat_ref, *refs):
+def _field_bwd_kernel(plan, L, n_arrs, pts_ref, dirpart_ref, *refs):
     """Recompute the fused forward for this tile, then backprop it entirely
     in VMEM. Weight/bias grads accumulate across the (sequential) TPU grid
-    into the (0,0)-mapped output refs; dx/ddir are per-row outputs.
+    into the (0,0)-mapped output refs; dx/ddir (and dcond for conditioned
+    plans) are per-row outputs.
 
-    Ref layout: [*w_refs (n_arrs)] then outputs
-    [dx_ref (T,3), ddir_ref (T,128), *gw_refs (n_arrs)].
+    Ref layout: [condpart_ref if conditioned] ga_ref, gb_ref, fmat, off,
+    rmat, [*w_refs (n_arrs)] then outputs
+    [dx_ref (T,3), ddir_ref (T,128), [dcond_ref (T, nc·W)], *gw_refs].
     """
+    has_cond = any(t.endswith("_c") for t in plan)
+    if has_cond:
+        condpart_ref, *refs = refs
+    ga_ref, gb_ref, fmat_ref, off_ref, rmat_ref, *refs = refs
     w_refs = refs[:n_arrs]
     dx_ref, ddir_ref = refs[n_arrs], refs[n_arrs + 1]
-    gw_refs = refs[n_arrs + 2:]
+    if has_cond:
+        dcond_ref = refs[n_arrs + 2]
+        gw_refs = refs[n_arrs + 3:]
+    else:
+        dcond_ref = None
+        gw_refs = refs[n_arrs + 2:]
     bf = jnp.bfloat16
     ws = [r[:] for r in w_refs]
 
@@ -556,30 +656,45 @@ def _field_bwd_kernel(plan, L, n_arrs, pts_ref, dirpart_ref, ga_ref, gb_ref,
     SnCs = SnCs_f.astype(bf)
     x_bf = x.astype(bf)
     d_in = dirpart_ref[:]
+    c_in = condpart_ref[:] if has_cond else None
 
-    # ---- forward recompute, collecting per-layer (tag, arr-indices, input) —
-    # h is stored per layer (post-relu, bf16); masks reconstruct from h > 0
+    # ---- forward recompute, collecting per-layer (tag, arr-indices, input,
+    # cond-slice index) — h is stored per layer (post-relu, bf16); masks
+    # reconstruct from h > 0
     idx = 0
-    layers = []          # (tag, idx_of_first_arr, h_input or None)
+    ci = 0
+    Wd = None            # trunk width (cond slice stride)
+    layers = []          # (tag, idx_of_first_arr, h_input or None, ci)
     hs = []
     h = None
     for tag in plan[:-1]:
-        if tag == "first":
+        layer_ci = None
+        if tag in ("first", "first_c"):
             Wx, Wsc, b = ws[idx], ws[idx + 1], ws[idx + 2]
+            Wd = Wx.shape[1]
             acc = _mm_trunk(x_bf, Wx) + _mm_trunk(SnCs, Wsc)
-            layers.append((tag, idx, None))
+            if tag == "first_c":
+                layer_ci = ci
+                ci += 1
+            layers.append((tag, idx, None, layer_ci))
             idx += 3
-        elif tag == "skip":
+        elif tag in ("skip", "skip_c"):
             Wh, Wx, Wsc, b = ws[idx], ws[idx + 1], ws[idx + 2], ws[idx + 3]
             acc = _mm_trunk(h, Wh) + _mm_trunk(x_bf, Wx) \
                 + _mm_trunk(SnCs, Wsc)
-            layers.append((tag, idx, h))
+            if tag == "skip_c":
+                layer_ci = ci
+                ci += 1
+            layers.append((tag, idx, h, layer_ci))
             idx += 4
         else:
             Wh, b = ws[idx], ws[idx + 1]
             acc = _mm_trunk(h, Wh)
-            layers.append((tag, idx, h))
+            layers.append((tag, idx, h, None))
             idx += 2
+        if layer_ci is not None:
+            acc = acc + c_in[:, layer_ci * Wd:(layer_ci + 1) * Wd].astype(
+                acc.dtype)
         h = jnp.maximum(acc + b.astype(acc.dtype), 0.0).astype(bf)
         hs.append(h)
 
@@ -635,12 +750,16 @@ def _field_bwd_kernel(plan, L, n_arrs, pts_ref, dirpart_ref, ga_ref, gb_ref,
     d_SnCs = jnp.zeros_like(SnCs_f)
     d_x_lin = jnp.zeros((x.shape[0], 128), jnp.float32)
     for li in range(len(layers) - 1, -1, -1):
-        tag, i0, h_prev = layers[li]
+        tag, i0, h_prev, layer_ci = layers[li]
         # relu mask: compare in f32 — Mosaic rejects bf16 cmpf on v5e
         mask = hs[li].astype(jnp.float32) > 0.0
         d_pre = jnp.where(mask, d_h, 0.0)
         d_pre_bf = d_pre.astype(bf)
-        if tag == "first":
+        if layer_ci is not None:
+            # cond enters acc additively ⇒ its cotangent IS d_pre; the
+            # hoisted cond @ cond_kernel product is backpropped in XLA
+            dcond_ref[:, layer_ci * Wd:(layer_ci + 1) * Wd] = d_pre
+        if tag in ("first", "first_c"):
             Wx, Wsc = ws[i0], ws[i0 + 1]
             gvals[i0] = _mmAT(x_bf, d_pre_bf)
             gvals[i0 + 1] = _mmAT(SnCs, d_pre_bf)
@@ -649,7 +768,7 @@ def _field_bwd_kernel(plan, L, n_arrs, pts_ref, dirpart_ref, ga_ref, gb_ref,
             d_x_lin += jnp.pad(_mmT(d_pre_bf, Wx),
                                ((0, 0), (0, 125)))
             d_h = None
-        elif tag == "skip":
+        elif tag in ("skip", "skip_c"):
             Wh, Wx, Wsc = ws[i0], ws[i0 + 1], ws[i0 + 2]
             gvals[i0] = _mmAT(h_prev, d_pre_bf)
             gvals[i0 + 1] = _mmAT(x_bf, d_pre_bf)
@@ -676,11 +795,13 @@ def _field_bwd_kernel(plan, L, n_arrs, pts_ref, dirpart_ref, ga_ref, gb_ref,
 
 @functools.partial(jax.jit, static_argnames=("plan", "L", "interpret"))
 def _fused_bwd_eval(weight_arrs, pts_flat, dirpart_flat, ga_flat, gb_flat,
-                    plan, L, interpret=False):
+                    plan, L, interpret=False, condpart_flat=None):
     n = pts_flat.shape[0]
     tile = min(_BWD_TILE, n)
     assert n % tile == 0, (n, tile)
     grid = (n // tile,)
+    has_cond = any(t.endswith("_c") for t in plan)
+    assert has_cond == (condpart_flat is not None), plan
 
     fmat = jnp.asarray(_freq_row(max(L, 1)))
     foff = jnp.asarray(_phase_offset(max(L, 1)))
@@ -696,19 +817,25 @@ def _fused_bwd_eval(weight_arrs, pts_flat, dirpart_flat, ga_flat, gb_flat,
         return pl.BlockSpec((tile, width), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
 
-    in_specs = [_rows(3), _rows(dirpart_flat.shape[1]), _rows(128),
-                _rows(128), _const2d(fmat), _const2d(foff), _const2d(rmat)] \
+    cond_inputs = (condpart_flat,) if has_cond else ()
+    in_specs = [_rows(3), _rows(dirpart_flat.shape[1])] \
+        + [_rows(a.shape[1]) for a in cond_inputs] \
+        + [_rows(128), _rows(128), _const2d(fmat), _const2d(foff),
+           _const2d(rmat)] \
         + [_const2d(a) for a in weight_arrs]
 
     dw = dirpart_flat.shape[1]
-    out_specs = (_rows(3), _rows(dw)) + tuple(
+    cw = condpart_flat.shape[1] if has_cond else 0
+    dcond_out = ((_rows(cw),), (jax.ShapeDtypeStruct((n, cw), jnp.float32),)
+                 ) if has_cond else ((), ())
+    out_specs = (_rows(3), _rows(dw)) + dcond_out[0] + tuple(
         pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
         for a in weight_arrs)
     out_shape = (
         jax.ShapeDtypeStruct((n, 3), jnp.float32),
         jax.ShapeDtypeStruct((n, dw), jnp.float32),
-    ) + tuple(jax.ShapeDtypeStruct(a.shape, jnp.float32)
-              for a in weight_arrs)
+    ) + dcond_out[1] + tuple(jax.ShapeDtypeStruct(a.shape, jnp.float32)
+                             for a in weight_arrs)
 
     flops_row = 3 * 2 * 0.53e6    # recompute + dgrad + wgrad
     outs = pl.pallas_call(
@@ -723,23 +850,26 @@ def _fused_bwd_eval(weight_arrs, pts_flat, dirpart_flat, ga_flat, gb_flat,
             transcendentals=int(n * (12 * L + 6)),
         ),
         interpret=interpret,
-    )(pts_flat, dirpart_flat, ga_flat, gb_flat, fmat, foff, rmat,
-      *weight_arrs)
-    return outs[0], outs[1], outs[2:]
+    )(pts_flat, dirpart_flat, *cond_inputs, ga_flat, gb_flat, fmat, foff,
+      rmat, *weight_arrs)
+    if has_cond:
+        return outs[0], outs[1], outs[2], outs[3:]
+    return outs[0], outs[1], None, outs[2:]
 
 
-def _pallas_backward(params, pts, viewdirs, g_rgb, g_sigma, mcfg: ModelConfig,
-                     interpret: bool):
+def _pallas_backward(params, pts, viewdirs, cond, g_rgb, g_sigma,
+                     mcfg: ModelConfig, interpret: bool):
     """Full VJP of the fused field in one Pallas pass (VERDICT r1 #5):
     in-kernel forward recompute (zero HBM activation traffic) + dgrad/wgrad,
-    then the per-ray view-branch hoist is backpropped by an exact XLA vjp.
+    then the per-ray view-branch (and cond-branch) hoists are backpropped by
+    exact XLA vjps.
 
-    Returns (param grads tree, d_pts, d_viewdirs)."""
+    Returns (param grads tree, d_pts, d_viewdirs, d_cond)."""
     R, S = pts.shape[0], pts.shape[1]
     n = R * S
     tile = min(_BWD_TILE, n)
     pad = (-n) % tile
-    arrs, plan, dir_kernel = pack_params(params, mcfg)
+    arrs, plan, dir_kernel, cond_kernel = pack_params(params, mcfg)
 
     hoist_vjp = None
     if mcfg.use_viewdirs:
@@ -755,6 +885,16 @@ def _pallas_backward(params, pts, viewdirs, g_rgb, g_sigma, mcfg: ModelConfig,
     else:
         dirpart_flat = jnp.zeros((n, 128), jnp.bfloat16)
 
+    cond_vjp, condpart_flat = None, None
+    if cond is not None:
+        def cond_hoist(c, ck):
+            return jnp.dot(c, ck, preferred_element_type=jnp.float32)
+
+        condpart, cond_vjp = jax.vjp(cond_hoist, cond, cond_kernel)
+        condpart_flat = jnp.broadcast_to(
+            condpart.astype(jnp.bfloat16)[:, None, :],
+            (R, S, condpart.shape[-1])).reshape(n, -1)
+
     pts_flat = pts.reshape(n, 3)
     ga = jnp.pad(g_rgb.reshape(n, 3).astype(jnp.float32),
                  ((0, 0), (0, 125)))
@@ -768,9 +908,12 @@ def _pallas_backward(params, pts, viewdirs, g_rgb, g_sigma, mcfg: ModelConfig,
         dirpart_flat = jnp.pad(dirpart_flat, ((0, pad), (0, 0)))
         ga = jnp.pad(ga, ((0, pad), (0, 0)))
         gb = jnp.pad(gb, ((0, pad), (0, 0)))
+        if condpart_flat is not None:
+            condpart_flat = jnp.pad(condpart_flat, ((0, pad), (0, 0)))
 
-    dx, ddir, gw = _fused_bwd_eval(tuple(arrs), pts_flat, dirpart_flat,
-                                   ga, gb, plan, mcfg.posenc_xyz, interpret)
+    dx, ddir, dcond_rows, gw = _fused_bwd_eval(
+        tuple(arrs), pts_flat, dirpart_flat, ga, gb, plan, mcfg.posenc_xyz,
+        interpret, condpart_flat=condpart_flat)
     d_pts = dx[:n].reshape(R, S, 3)
     d_dir_kernel = None
     if mcfg.use_viewdirs:
@@ -778,8 +921,13 @@ def _pallas_backward(params, pts, viewdirs, g_rgb, g_sigma, mcfg: ModelConfig,
         d_viewdirs, d_dir_kernel = hoist_vjp(ddir_ray)
     else:
         d_viewdirs = jnp.zeros_like(viewdirs)
-    grads = _unpack_grads(gw, d_dir_kernel, params, mcfg)
-    return grads, d_pts, d_viewdirs
+    d_cond, d_cond_kernel = None, None
+    if cond is not None:
+        dcond_ray = jnp.sum(dcond_rows[:n].reshape(R, S, -1), axis=1)
+        d_cond, d_cond_kernel = cond_vjp(dcond_ray)
+    grads = _unpack_grads(gw, d_dir_kernel, params, mcfg,
+                          d_cond_kernel=d_cond_kernel)
+    return grads, d_pts, d_viewdirs, d_cond
 
 
 def _unsplit_posenc_grad(gWx, gWsc, L: int, d: int = 3):
@@ -792,25 +940,40 @@ def _unsplit_posenc_grad(gWx, gWsc, L: int, d: int = 3):
     return jnp.concatenate(rows, axis=0)
 
 
-def _unpack_grads(gw, d_dir_kernel, params, mcfg: ModelConfig):
+def _unpack_grads(gw, d_dir_kernel, params, mcfg: ModelConfig,
+                  d_cond_kernel=None):
     """Map the flat kernel-layout grads back onto the flax param tree
     (inverse of pack_params). d_dir_kernel: (Cd, W//2) grad of view_0's
-    direction rows, computed by the XLA hoist vjp (None when no viewdirs)."""
+    direction rows; d_cond_kernel: (Cc, n_cond·W) grad of the hoisted cond
+    rows — both computed by XLA hoist vjps (None when absent)."""
     p = params["params"]
     L = mcfg.posenc_xyz
     cx = 3 * (2 * L + 1)
+    W = mcfg.net_width
     out = {}
     it = iter(gw)
+    ci = 0
+
+    def cond_slice():
+        nonlocal ci
+        g = d_cond_kernel[:, ci * W:(ci + 1) * W]
+        ci += 1
+        return g
 
     for i in range(mcfg.net_depth):
         k = p[f"trunk_{i}"]["kernel"]
+        has_cond = d_cond_kernel is not None
         if i == 0:
             gWx, gWsc, gb = next(it), next(it), next(it)
             gk = _unsplit_posenc_grad(gWx, gWsc, L)
-        elif k.shape[0] > mcfg.net_width:
+            if has_cond:
+                gk = jnp.concatenate([gk, cond_slice()], axis=0)
+        elif k.shape[0] > W:
             gWh, gWx, gWsc, gb = next(it), next(it), next(it), next(it)
-            gk = jnp.concatenate(
-                [_unsplit_posenc_grad(gWx, gWsc, L), gWh], axis=0)
+            parts = [_unsplit_posenc_grad(gWx, gWsc, L)]
+            if has_cond:
+                parts.append(cond_slice())
+            gk = jnp.concatenate(parts + [gWh], axis=0)
         else:
             gk, gb = next(it), next(it)
         out[f"trunk_{i}"] = {"kernel": gk, "bias": gb.reshape(-1)}

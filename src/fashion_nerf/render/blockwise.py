@@ -70,7 +70,9 @@ def _marched_pass_mega(packed, dirpart, rays_o, rays_d, t_vals, dnorm,
                        alive0, cfg: Config, t_end):
     """Megakernel variant of _marched_pass: the whole block march runs in
     one Pallas program per ray tile (kernels/megakernel_pallas.py) — same
-    outputs, no per-block XLA glue or launch overhead."""
+    outputs, no per-block XLA glue or launch overhead. Unconditioned
+    models only (the megakernel is off by default; conditioned renders use
+    the two-stage pipeline)."""
     import math as _math
 
     from fashion_nerf.kernels.megakernel_pallas import _mega_eval
@@ -78,7 +80,7 @@ def _marched_pass_mega(packed, dirpart, rays_o, rays_d, t_vals, dnorm,
     R, S = t_vals.shape
     SB = cfg.kernels.block_samples
     eps = cfg.kernels.early_term_eps
-    arrs, plan, _ = packed
+    arrs, plan = packed[0], packed[1]
     t_pad, d_pad = _pass_dists(t_vals, dnorm, t_end, SB)
     # eps=0 ⇒ never terminate: the sentinel must undercut the lowest
     # reachable log T (the per-sample clamp is -23, so ≥ -23·S overall)
@@ -113,13 +115,79 @@ def _marched_pass_mega(packed, dirpart, rays_o, rays_d, t_vals, dnorm,
             "alive_frac": jnp.mean(tile_alive)}
 
 
-def _marched_pass(eval_block, packed, dirpart, rays_o, rays_d, t_vals,
-                  dnorm, alive0, cfg: Config, rpt: int, t_end):
+def _block_hit_flags(t_pad, SB, seg, R, NB):
+    """(R, NB) f32 macro-box block-interval flags (1 = block may contain
+    occupied space) — all-ones when no macro grid is in play."""
+    if seg is None:
+        return jnp.ones((R, NB), jnp.float32)
+    seg_lo, seg_hi, seg_hit = seg
+    t_starts = t_pad[:, ::SB]                                    # (R, NB)
+    t_ends = t_pad[:, SB - 1::SB]
+    overlap = ((seg_lo[:, None, :] <= t_ends[..., None])
+               & (seg_hi[:, None, :] >= t_starts[..., None])
+               & seg_hit[:, None, :])
+    return jnp.any(overlap, axis=-1).astype(jnp.float32)
+
+
+def _marched_pass_carry(packed, dirpart, condpart, rays_o, rays_d, t_vals,
+                        dnorm, alive0, cfg: Config, t_end, seg=None):
+    """Carry-in-VMEM variant of _marched_pass: one Pallas program per
+    (ray tile, sample block), the transmittance carry and composited
+    accumulators persisted in VMEM output windows across the tile's blocks
+    (kernels/blockmarch_pallas.py — VERDICT r2 next #1b). Same outputs."""
+    import math as _math
+
+    from fashion_nerf.kernels.blockmarch_pallas import _carry_eval
+
+    R, S = t_vals.shape
+    SB = cfg.kernels.block_samples
+    eps = cfg.kernels.early_term_eps
+    arrs, plan = packed[0], packed[1]
+    t_pad, d_pad = _pass_dists(t_vals, dnorm, t_end, SB)
+    NB = t_pad.shape[1] // SB
+    log_eps = _math.log(eps) if eps > 0 else -1e30
+    hit = alive0.astype(jnp.float32).reshape(R, 1)
+    block_hit = _block_hit_flags(t_pad, SB, seg, R, NB)
+
+    rgb, depth, acc, w, _logT = _carry_eval(
+        arrs, dirpart, condpart, rays_o, rays_d, hit, block_hit, t_pad,
+        d_pad, plan, cfg.model.posenc_xyz, SB,
+        cfg.model.sigma_activation == "softplus", log_eps,
+        interpret=cfg.kernels.interpret)
+
+    weights = w[:, :S]
+    if cfg.render.white_bkgd:
+        rgb = rgb + (1.0 - acc[:, None])
+    disp = 1.0 / jnp.maximum(1e-10, depth / jnp.maximum(acc, 1e-10))
+    # executed-block diagnostic, reconstructed exactly (megakernel
+    # rationale): T at block start = 1 − Σ earlier weights, block launched
+    # iff any ray had hit ∧ block_hit ∧ T > ε
+    from fashion_nerf.kernels.posenc_mlp_pallas import _TILE
+    rpt = _TILE // SB
+    cum_w = jnp.cumsum(w, axis=1)
+    t_start = 1.0 - jnp.concatenate(
+        [jnp.zeros((R, 1), jnp.float32), cum_w[:, :-1]], axis=1)
+    eps_f = eps if eps > 0 else 0.0
+    ray_alive = (hit > 0) & (block_hit > 0) & (t_start[:, ::SB] > eps_f)
+    tile_alive = jnp.max(
+        ray_alive.reshape(R // rpt, rpt, NB).astype(jnp.float32), axis=1)
+    return {"rgb": rgb, "depth": depth, "acc": acc,
+            "weights": weights, "disp": disp,
+            "alive_frac": jnp.mean(tile_alive)}
+
+
+def _marched_pass(eval_block, packed, dirpart, condpart, rays_o, rays_d,
+                  t_vals, dnorm, alive0, cfg: Config, rpt: int, t_end,
+                  seg=None):
     """March one field pass over sample blocks with a transmittance carry.
 
     t_vals: (R, S) ascending. alive0: (R,) bool — rays worth marching (AABB
     hits). t_end: scalar integration bound, or None for the canonical
-    infinite last interval. Returns the volume_render-shaped dict.
+    infinite last interval. seg: optional (seg_lo, seg_hi, seg_hit) (R, K)
+    macro-box intervals (core/occupancy.ray_multi_aabb) — blocks whose
+    t-range overlaps no occupied box are culled like terminated ones
+    (VERDICT r2 #2: interior empty space dies too, not just pre/post-box).
+    Returns the volume_render-shaped dict.
     """
     R, S = t_vals.shape
     SB = cfg.kernels.block_samples
@@ -133,6 +201,9 @@ def _marched_pass(eval_block, packed, dirpart, rays_o, rays_d, t_vals,
     t_pad, d_pad = _pass_dists(t_vals, dnorm, t_end, SB)
     NB = t_pad.shape[1] // SB
 
+    block_hit = (None if seg is None
+                 else _block_hit_flags(t_pad, SB, seg, R, NB) > 0)
+
     acc_rgb = jnp.zeros((R, 3), jnp.float32)
     depth = jnp.zeros((R,), jnp.float32)
     acc = jnp.zeros((R,), jnp.float32)
@@ -142,13 +213,16 @@ def _marched_pass(eval_block, packed, dirpart, rays_o, rays_d, t_vals,
     for b in range(NB):     # static unroll: NB is 2-8 at production shapes
         with jax.named_scope(f"block_{b}"):
             alive_ray = alive0 & (log_T > log_eps)
+            if block_hit is not None:
+                alive_ray = alive_ray & block_hit[:, b]
             alive_tile = jnp.max(
                 alive_ray.reshape(n_tiles, rpt).astype(jnp.float32),
                 axis=1, keepdims=True)                       # (n_tiles, 1)
             t_b = jax.lax.dynamic_slice_in_dim(t_pad, b * SB, SB, 1)
             d_b = jax.lax.dynamic_slice_in_dim(d_pad, b * SB, SB, 1)
             pts_b = rays_o[:, None, :] + rays_d[:, None, :] * t_b[..., None]
-            rgb_b, sigma_b = eval_block(packed, dirpart, pts_b, alive_tile)
+            rgb_b, sigma_b = eval_block(packed, dirpart, condpart, pts_b,
+                                        alive_tile)
 
             density = (jax.nn.softplus(sigma_b) if softplus
                        else jnp.maximum(sigma_b, 0.0))
@@ -178,49 +252,71 @@ def _marched_pass(eval_block, packed, dirpart, rays_o, rays_d, t_vals,
 
 
 def render_rays_blockwise(params, cfg: Config, rays_o, rays_d, viewdirs,
-                          occ=None):
+                          occ=None, cond=None):
     """Coarse+fine hierarchical render of (R,) rays, eval-mode, blockwise.
 
     Numerically equivalent to render/renderer.render_rays(train=False) up to
     the termination threshold ε (exact at ε=0) — tested in
     tests/kernels/test_blockwise.py. R must be a multiple of the ray tile
-    (callers pad; render_image_blockwise does). Conditioned models are not
-    routed here (the fused kernel falls back to XLA for cond inputs)."""
+    (callers pad; render_image_blockwise does). cond (R,Cc): per-ray
+    conditioning features — hoisted per chunk and expanded in-kernel
+    (VERDICT r2 #4; the megakernel variant stays unconditioned-only)."""
     from fashion_nerf.kernels.posenc_mlp_pallas import make_block_evaluator
 
     scfg, rcfg = cfg.sampling, cfg.render
     R = rays_o.shape[0]
-    pack, hoist_dirs, eval_block, rays_per_tile = make_block_evaluator(cfg)
+    pack, hoist_dirs, hoist_cond, eval_block, rays_per_tile = \
+        make_block_evaluator(cfg)
     rpt = rays_per_tile(cfg.kernels.block_samples)
     assert R % rpt == 0, (R, rpt)
 
+    seg = None
+    near, far, hit = rcfg.near, rcfg.far, None
+    t_end = None
+    if occ is not None:
+        if cfg.occupancy.macro > 1:
+            # macro-box culling (r3): per-ray sample budget concentrates on
+            # the UNION of occupied macro-box intervals (tighter than the
+            # global AABB), and per-(ray, block) interval tests kill
+            # interior empty blocks in _marched_pass
+            from fashion_nerf.core.occupancy import ray_multi_aabb
+            near, far, hit, s_lo, s_hi, s_hit = ray_multi_aabb(
+                rays_o, rays_d, occ, rcfg.near, rcfg.far)
+            seg = (s_lo, s_hi, s_hit)
+        else:
+            near, far, hit = ray_aabb_intersect(
+                rays_o, rays_d, occ.box_min, occ.box_max,
+                rcfg.near, rcfg.far)
+        t_end = rcfg.far          # σ beyond the box ≤ grid threshold
+    alive0 = hit if hit is not None else jnp.ones((R,), bool)
+
     if cfg.kernels.megakernel:
-        def march(packed, dirpart, t_vals, dnorm, alive0, t_end):
+        assert cond is None, "megakernel path is unconditioned-only"
+
+        def march(packed, dirpart, condpart, t_vals, dnorm, alive0, t_end):
             return _marched_pass_mega(packed, dirpart, rays_o, rays_d,
                                       t_vals, dnorm, alive0, cfg, t_end)
+    elif cfg.kernels.fused_carry:
+        def march(packed, dirpart, condpart, t_vals, dnorm, alive0, t_end):
+            return _marched_pass_carry(packed, dirpart, condpart, rays_o,
+                                       rays_d, t_vals, dnorm, alive0, cfg,
+                                       t_end, seg=seg)
     else:
-        def march(packed, dirpart, t_vals, dnorm, alive0, t_end):
-            return _marched_pass(eval_block, packed, dirpart, rays_o,
-                                 rays_d, t_vals, dnorm, alive0, cfg, rpt,
-                                 t_end)
+        def march(packed, dirpart, condpart, t_vals, dnorm, alive0, t_end):
+            return _marched_pass(eval_block, packed, dirpart, condpart,
+                                 rays_o, rays_d, t_vals, dnorm, alive0, cfg,
+                                 rpt, t_end, seg=seg)
 
     packed_c = pack(params["coarse"])
     packed_f = pack(params["fine"]) if scfg.n_fine > 0 else None
     dirpart_c = hoist_dirs(packed_c, viewdirs)
-
-    near, far, hit = rcfg.near, rcfg.far, None
-    t_end = None
-    if occ is not None:
-        near, far, hit = ray_aabb_intersect(
-            rays_o, rays_d, occ.box_min, occ.box_max, rcfg.near, rcfg.far)
-        t_end = rcfg.far          # σ beyond the box ≤ grid threshold
-    alive0 = hit if hit is not None else jnp.ones((R,), bool)
+    condpart_c = hoist_cond(packed_c, cond)
     dnorm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
 
     key = jax.random.PRNGKey(0)   # unused: eval-mode deterministic sampling
     t_c = stratified_sample(key, near, far, R, scfg.n_coarse,
                             perturb=False, lindisp=scfg.lindisp)
-    out_c = march(packed_c, dirpart_c, t_c, dnorm, alive0, t_end)
+    out_c = march(packed_c, dirpart_c, condpart_c, t_c, dnorm, alive0, t_end)
 
     if scfg.n_fine <= 0:
         return {"coarse": out_c, "fine": None}
@@ -231,7 +327,9 @@ def render_rays_blockwise(params, cfg: Config, rays_o, rays_d, viewdirs,
     t_all = jnp.sort(jnp.concatenate([t_c, t_f], axis=-1), axis=-1)
 
     dirpart_f = hoist_dirs(packed_f, viewdirs)
-    out_f = march(packed_f, dirpart_f, t_all, dnorm, alive0, t_end)
+    condpart_f = hoist_cond(packed_f, cond)
+    out_f = march(packed_f, dirpart_f, condpart_f, t_all, dnorm, alive0,
+                  t_end)
     return {"coarse": out_c, "fine": out_f}
 
 
@@ -256,12 +354,13 @@ def _tile_order(H: int, W: int, th: int = 8, tw: int = 8):
 
 
 def render_image_blockwise(params, cfg: Config, H: int, W: int, focal, c2w,
-                           occ=None):
+                           occ=None, cond=None):
     """Whole-image blockwise render under ONE jit — the production render
     path when cfg.kernels.use_pallas & blockwise (bench.py headline). Mirrors
     renderer.render_image's pad/chunk/unchunk contract. Rays are permuted
     into 8×8 pixel blocks (one termination tile each) and the outputs
-    inverse-permuted — see _tile_order."""
+    inverse-permuted — see _tile_order. cond: per-scene (Cc,) conditioning
+    vector (garment code ⊕ latent), broadcast per chunk."""
     rays_o, rays_d = generate_rays(H, W, focal, c2w)
     rays_o = rays_o.reshape(-1, 3)
     rays_d = rays_d.reshape(-1, 3)
@@ -271,6 +370,11 @@ def render_image_blockwise(params, cfg: Config, H: int, W: int, focal, c2w,
     n = rays_o.shape[0]
 
     tiled = (H % 8 == 0 and W % 8 == 0)
+    if not tiled:
+        import sys
+        print(f"fashion-nerf: blockwise render at {H}x{W} falls back to "
+              "scanline ray order (H, W not multiples of 8) — ~5% slower "
+              "termination tiles", file=sys.stderr)
     if tiled:
         order, inv = _tile_order(H, W)
         order_j = jnp.asarray(order)
@@ -279,7 +383,7 @@ def render_image_blockwise(params, cfg: Config, H: int, W: int, focal, c2w,
         viewdirs = viewdirs[order_j]
 
     from fashion_nerf.kernels.posenc_mlp_pallas import make_block_evaluator
-    _, _, _, rays_per_tile = make_block_evaluator(cfg)
+    rays_per_tile = make_block_evaluator(cfg)[-1]
     rpt = rays_per_tile(cfg.kernels.block_samples)
     chunk = max(rpt, (min(cfg.render.chunk, n) // rpt) * rpt)
     n_chunks = -(-n // chunk)
@@ -288,9 +392,14 @@ def render_image_blockwise(params, cfg: Config, H: int, W: int, focal, c2w,
     def _pad_rays(x, unit_fill: bool):
         if pad == 0:
             return x.reshape(n_chunks, chunk, 3)
-        fill = jnp.zeros((pad, 3), x.dtype)
         if unit_fill:     # zero dirs NaN under --sanitize (renderer.py)
-            fill = fill.at[:, 2].set(-1.0)
+            fill = jnp.zeros((pad, 3), x.dtype).at[:, 2].set(-1.0)
+        else:
+            # pad-ray ORIGINS sit far outside any scene AABB so padding
+            # joins the dead-chunk/dead-tile skip instead of marching all
+            # blocks at full field cost (ADVICE r2 — (0,0,0) origins sat
+            # inside the box of every object-centric scene)
+            fill = jnp.full((pad, 3), 1e6, x.dtype)
         return jnp.concatenate([x, fill], 0).reshape(n_chunks, chunk, 3)
 
     ro = _pad_rays(rays_o, unit_fill=False)
@@ -298,7 +407,10 @@ def render_image_blockwise(params, cfg: Config, H: int, W: int, focal, c2w,
     vd = _pad_rays(viewdirs, unit_fill=True)
 
     def _live_chunk(o, d, v):
-        out = render_rays_blockwise(params, cfg, o, d, v, occ=occ)
+        cond_rays = (None if cond is None else
+                     jnp.broadcast_to(cond, (o.shape[0], cond.shape[-1])))
+        out = render_rays_blockwise(params, cfg, o, d, v, occ=occ,
+                                    cond=cond_rays)
         head = out["fine"] if out["fine"] is not None else out["coarse"]
         return {k: head[k] for k in ("rgb", "depth", "acc", "disp")}
 

@@ -44,8 +44,10 @@ def make_fields(cfg: Config, training: bool = False):
 
 
 def make_train_step(cfg: Config, dataset: RayDataset, mesh=None,
-                    garment=None):
-    """Returns a jitted step: (state, all_rays) → (state, metrics dict).
+                    garment=None, streamed: bool = False,
+                    occ_culled: bool = False):
+    """Returns a jitted step: (state, all_rays) → (state, metrics dict) —
+    or, with occ_culled=True, (state, all_rays, occ) → (state, metrics).
 
     With a mesh, the gathered ray batch is constrained to shard over the
     "dp" axis; params follow their own (replicated or tp-sharded) placement
@@ -53,7 +55,17 @@ def make_train_step(cfg: Config, dataset: RayDataset, mesh=None,
 
     `garment`: optional (H, W, 7) conditioning stack (tryon/pipeline.py);
     encoded once per step by GarmentEncoder and broadcast to every ray.
+
+    occ_culled (r3, VERDICT r2 #3): the occupancy-accelerated step — the
+    REDUCED budget (train.occ_coarse + occ_fine) concentrated inside each
+    ray's occupied interval (render_rays' occ path), taking the live
+    OccupancyState as a traced argument so grid refreshes don't recompile.
     """
+    if occ_culled:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, sampling=dataclasses.replace(
+            cfg.sampling, n_coarse=cfg.train.occ_coarse,
+            n_fine=(cfg.train.occ_fine if cfg.sampling.n_fine > 0 else 0)))
     field_c, field_f = make_fields(cfg, training=True)
     tx = make_optimizer(cfg)
     use_fine = cfg.sampling.n_fine > 0
@@ -68,7 +80,7 @@ def make_train_step(cfg: Config, dataset: RayDataset, mesh=None,
     else:
         batch_sharding = None
 
-    def loss_fn(params, batch, key):
+    def loss_fn(params, batch, key, occ=None):
         cond = _make_cond(cfg, params, batch, garment)
         fc = functools.partial(_with_viewdirs(field_c), params["coarse"],
                                batch["viewdirs"])
@@ -76,7 +88,7 @@ def make_train_step(cfg: Config, dataset: RayDataset, mesh=None,
                                 batch["viewdirs"]) if use_fine else None)
         out = render_rays(fc, ff, batch["rays_o"], batch["rays_d"], key, cfg,
                           train=True, cond=cond,
-                          use_pallas_render=use_pallas_render)
+                          use_pallas_render=use_pallas_render, occ=occ)
         loss_c = jnp.mean((out["coarse"]["rgb"] - batch["rgb"]) ** 2)
         loss = loss_c
         loss_f = loss_c
@@ -91,24 +103,25 @@ def make_train_step(cfg: Config, dataset: RayDataset, mesh=None,
             aux["sparsity"] = loss_sp
         return loss, aux
 
-    def train_step(state: TrainState, all_rays: dict):
+    def train_step(state: TrainState, all_rays: dict, occ=None):
         key, k_idx, k_render = jax.random.split(state.key, 3)
-        # device-side ray-batch gather (no host in the loop)
-        idx = jax.random.randint(k_idx, (cfg.train.batch_rays,), 0, n_total)
-        if crop_idx is not None:
-            k_crop = jax.random.fold_in(k_idx, 1)
-            sel = jax.random.randint(k_crop, (cfg.train.batch_rays,), 0,
-                                     crop_idx.shape[0])
-            idx = jnp.where(state.step < cfg.train.precrop_iters,
-                            crop_idx[sel], idx)
-        batch = {k: jnp.take(v, idx, axis=0) for k, v in all_rays.items()}
+        if streamed:
+            # cfg.data.stream: the batch arrives pre-gathered from the
+            # host prefetch iterator (datasets > HBM)
+            batch = all_rays
+        else:
+            # device-side ray-batch gather (no host in the loop)
+            from fashion_nerf.data.pipeline import sample_batch
+            batch = sample_batch(all_rays, k_idx, cfg.train.batch_rays,
+                                 n_total, crop_idx=crop_idx, step=state.step,
+                                 precrop_iters=cfg.train.precrop_iters)
         if batch_sharding is not None:
             batch = jax.lax.with_sharding_constraint(
                 batch, jax.tree_util.tree_map(lambda _: batch_sharding,
                                               batch))
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, k_render)
+            state.params, batch, k_render, occ)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = jax.tree_util.tree_map(
             lambda p, u: p + u, state.params, updates)
@@ -118,7 +131,10 @@ def make_train_step(cfg: Config, dataset: RayDataset, mesh=None,
                    **aux}
         return new_state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    if occ_culled:
+        return jax.jit(train_step, donate_argnums=(0,))
+    return jax.jit(lambda state, all_rays: train_step(state, all_rays),
+                   donate_argnums=(0,))
 
 
 def _sparsity_loss(cfg: Config, params, field_c, field_f, key, cond):
@@ -145,6 +161,30 @@ def _sparsity_loss(cfg: Config, params, field_c, field_f, key, cond):
         _, sigma_raw = field(params[params_k], pts, dirs, cond_pt)
         total = total + jnp.mean(jnp.log1p(0.5 * act(sigma_raw) ** 2))
     return total
+
+
+def refresh_occupancy(cfg: Config, params, cond_vec=None):
+    """Rebuild the training-time culling grid from the LIVE fields (r3,
+    VERDICT r2 #3 — NerfAcc's periodic grid refresh). σ is the max over
+    coarse and fine so both nets' culled ranges are sound. params traced,
+    never constant-folded (occupancy.build_jit rationale). cond_vec: the
+    per-scene conditioning vector for conditioned fields."""
+    from fashion_nerf.core.occupancy import build_from_config
+    field_c, field_f = make_fields(cfg)
+    use_fine = cfg.sampling.n_fine > 0
+
+    def union_field(p, pts, dirs, cond):
+        if cond is None and cond_vec is not None:
+            cond = jnp.broadcast_to(cond_vec, (pts.shape[0],
+                                               cond_vec.shape[-1]))
+        rgb, s = field_c(p["coarse"], pts, dirs, cond)
+        if use_fine:
+            _, s2 = field_f(p["fine"], pts, dirs, cond)
+            s = jnp.maximum(s, s2)
+        return rgb, s
+
+    return jax.jit(lambda p: build_from_config(
+        cfg, functools.partial(union_field, p)))(params)
 
 
 def _with_viewdirs(field):
@@ -291,9 +331,31 @@ def train(cfg: Config, dataset_dict: Optional[dict] = None,
     if mesh is not None:
         state = shard_state(mesh, state)
     garment = resolve_garment(cfg, dataset_dict, dataset.H, dataset.W)
-    step_fn = make_train_step(cfg, dataset, mesh=mesh, garment=garment)
+    streamed = cfg.data.stream
+    step_fn = make_train_step(cfg, dataset, mesh=mesh, garment=garment,
+                              streamed=streamed)
+    # occupancy-accelerated training (r3, VERDICT r2 #3)
+    occ_train = cfg.train.occ_train
+    step_fast = (make_train_step(cfg, dataset, mesh=mesh, garment=garment,
+                                 streamed=streamed, occ_culled=True)
+                 if occ_train else None)
+    occ_state = None
     all_rays = dataset.batch_arrays()
-    if mesh is not None:
+    batch_iter = None
+    if streamed:
+        # datasets > HBM: host-side gather + double-buffered device_put
+        # (SURVEY.md §2.2 prefetch fallback); device-resident gather
+        # otherwise (the TPU-right default)
+        from fashion_nerf.data.pipeline import host_batch_iter, \
+            prefetch_to_device
+        sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sharding = NamedSharding(mesh, P("dp"))
+        batch_iter = prefetch_to_device(
+            host_batch_iter(all_rays, cfg.train.batch_rays,
+                            seed=cfg.train.seed), size=2, sharding=sharding)
+    elif mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         all_rays = jax.device_put(all_rays, NamedSharding(mesh, P()))
 
@@ -313,7 +375,18 @@ def train(cfg: Config, dataset_dict: Optional[dict] = None,
         if fault_at_step is not None and i == fault_at_step:
             raise RuntimeError(f"injected fault at step {i} "
                                "(SURVEY.md §5.3 test hook)")
-        state, metrics = step_fn(state, all_rays)
+        if occ_train and i >= cfg.train.occ_warmup and (
+                occ_state is None or i % cfg.train.occ_refresh_every == 0):
+            occ_state = refresh_occupancy(
+                cfg, state.params,
+                cond_vec=_eval_cond(cfg, state.params, garment))
+        use_fast = (occ_state is not None
+                    and (i + 1) % cfg.train.occ_dense_every != 0)
+        batch = next(batch_iter) if streamed else all_rays
+        if use_fast:
+            state, metrics = step_fast(state, batch, occ_state)
+        else:
+            state, metrics = step_fn(state, batch)
         rays_done += cfg.train.batch_rays
         if (i + 1) % cfg.train.log_every == 0:
             # float() pulls to host and is the only reliable sync here —
@@ -357,7 +430,7 @@ def _load_dataset(cfg: Config) -> dict:
             # a NeRF-synthetic scene dir for real runs.
             from fashion_nerf.data.synthetic import make_synthetic_scene
             scene = make_synthetic_scene(n_views=16, H=160, W=160,
-                                         scale=0.5, sharp=80.0)
+                                         scale=0.5, sharp=80.0, texture=0.6)
             scene.update(H=160, W=160, near=2.0, far=6.0)
             return scene
         from fashion_nerf.data.blender import load_blender

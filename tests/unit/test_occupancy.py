@@ -10,7 +10,8 @@ import pytest
 
 from fashion_nerf.config import load_config
 from fashion_nerf.core.occupancy import (
-    build_occupancy, build_from_config, cull_background, ray_aabb_intersect)
+    build_occupancy, build_from_config, cull_background, ray_aabb_intersect,
+    ray_multi_aabb)
 from fashion_nerf.metrics import psnr
 from fashion_nerf.render.renderer import render_rays
 
@@ -180,6 +181,107 @@ class TestCulledRenderEquivalence:
         culled_small = self._render(occ, n_coarse=32, n_fine=64)
         delta = psnr(culled_small["rgb"], dense_big["rgb"])
         assert float(delta) > 40.0, f"PSNR {float(delta):.1f} dB"
+
+
+def _two_sphere_field(r=0.25, sep=1.6, dens=50.0):
+    """Two small spheres separated along x — interior empty gap between
+    them, the geometry macro-box culling exists for (VERDICT r2 #2)."""
+    c1 = jnp.array([-sep / 2, 0.0, 0.0])
+    c2 = jnp.array([sep / 2, 0.0, 0.0])
+
+    def field(pts, viewdirs, cond):
+        d1 = jnp.linalg.norm(pts - c1, axis=-1)
+        d2 = jnp.linalg.norm(pts - c2, axis=-1)
+        sigma = dens * (jax.nn.sigmoid(-60.0 * (d1 - r))
+                        + jax.nn.sigmoid(-60.0 * (d2 - r)))
+        rgb = jnp.broadcast_to(jnp.array([0.8, 0.3, 0.2]),
+                               pts.shape[:-1] + (3,))
+        return rgb, sigma
+    return field
+
+
+class TestMacroBoxes:
+    def test_boxes_cover_occupied_cells_and_skip_the_gap(self):
+        occ = build_occupancy(_two_sphere_field(), -2.0, 2.0, resolution=32,
+                              macro=4)
+        assert occ.boxes_min.shape == (64, 3)
+        assert int(jnp.sum(occ.boxes_occ)) >= 2
+        # every occupied grid-cell center lies inside some occupied box
+        g = 32
+        cell = 4.0 / g
+        idx = np.argwhere(np.asarray(occ.grid))
+        centers = -2.0 + cell * (idx + 0.5)
+        bmin = np.asarray(occ.boxes_min)[np.asarray(occ.boxes_occ)]
+        bmax = np.asarray(occ.boxes_max)[np.asarray(occ.boxes_occ)]
+        inside = ((centers[:, None, :] >= bmin[None]) &
+                  (centers[:, None, :] <= bmax[None])).all(-1).any(-1)
+        assert inside.all()
+        # the midpoint between the spheres is in the GLOBAL box but in no
+        # occupied macro box — the win over single-AABB culling
+        mid = np.zeros(3)
+        assert (np.asarray(occ.box_min) <= mid).all()
+        assert (np.asarray(occ.box_max) >= mid).all()
+        in_any = ((mid >= bmin) & (mid <= bmax)).all(-1).any()
+        assert not in_any
+
+    def test_multi_aabb_union_matches_brute_force(self):
+        occ = build_occupancy(_two_sphere_field(), -2.0, 2.0, resolution=32,
+                              macro=4)
+        key = jax.random.PRNGKey(7)
+        o = jnp.broadcast_to(jnp.array([0.0, 0.0, 4.0]), (64, 3)) \
+            + jax.random.uniform(key, (64, 3), minval=-0.5, maxval=0.5)
+        d = jax.random.normal(jax.random.fold_in(key, 1), (64, 3))
+        d = d.at[:, 2].set(-jnp.abs(d[:, 2]) - 0.5)
+        lo, hi, hit, s_lo, s_hi, s_hit = ray_multi_aabb(o, d, occ, 2.0, 6.0)
+        # brute force against the box set
+        t = jnp.linspace(2.0, 6.0, 4097)
+        pts = o[:, None, :] + d[:, None, :] * t[None, :, None]
+        bmin = occ.boxes_min[occ.boxes_occ]
+        bmax = occ.boxes_max[occ.boxes_occ]
+        inside = ((pts[:, :, None, :] >= bmin[None, None]) &
+                  (pts[:, :, None, :] <= bmax[None, None])).all(-1).any(-1)
+        bf_hit = jnp.any(inside, axis=-1)
+        np.testing.assert_array_equal(np.asarray(hit), np.asarray(bf_hit))
+        tol = float(t[1] - t[0]) * 1.5
+        m = np.asarray(hit)
+        t_in = jnp.where(inside, t[None, :], jnp.inf).min(-1)
+        t_out = jnp.where(inside, t[None, :], -jnp.inf).max(-1)
+        np.testing.assert_allclose(np.asarray(lo)[m],
+                                   np.asarray(t_in)[m], atol=tol)
+        np.testing.assert_allclose(np.asarray(hi)[m],
+                                   np.asarray(t_out)[m], atol=tol)
+
+    def test_empty_grid_degrades_to_single_world_box(self):
+        def empty_field(pts, viewdirs, cond):
+            return jnp.ones(pts.shape[:-1] + (3,)), \
+                jnp.full(pts.shape[:-1], -10.0)
+        occ = build_occupancy(empty_field, -2.0, 2.0, resolution=16, macro=4)
+        assert int(jnp.sum(occ.boxes_occ)) == 1
+        k = int(jnp.argmax(occ.boxes_occ))
+        np.testing.assert_allclose(occ.boxes_min[k], -2.0)
+        np.testing.assert_allclose(occ.boxes_max[k], 2.0)
+        # multi-box culling must be a no-op: every ray that sees the world
+        # box hits the fallback box
+        o = jnp.array([[0.0, 0.0, 4.0]])
+        d = jnp.array([[0.0, 0.0, -1.0]])
+        _, _, hit, *_ = ray_multi_aabb(o, d, occ, 2.0, 6.0)
+        assert bool(hit[0])
+
+    def test_margin_crosses_macro_boundary(self):
+        # a single occupied cell exactly at a macro boundary: the dilated
+        # halo must appear in BOTH neighbor boxes
+        g, k = 16, 4
+        grid = np.zeros((g, g, g), bool)
+        grid[4, 8, 8] = True          # x-index 4 = boundary of macro 0|1
+        from fashion_nerf.core.occupancy import _macro_boxes
+        wm = jnp.full((3,), -2.0)
+        cell = jnp.full((3,), 4.0 / g)
+        bmin, bmax, bocc = _macro_boxes(
+            jnp.asarray(grid), wm, cell, g, k, margin_cells=1,
+            any_occ=jnp.asarray(True), fallback_min=wm, fallback_max=-wm)
+        occd = np.asarray(bocc).reshape(k, k, k)
+        assert occd[1, 2, 2]          # home macro cell (x idx 4 → macro 1)
+        assert occd[0, 2, 2]          # margin spills into macro 0
 
 
 def test_cull_background_overwrites_misses():
