@@ -46,7 +46,10 @@ def main():
     print({k: (v.item() if getattr(v, 'ndim', 1) == 0 else str(v))
            for k, v in meta.items()}, flush=True)
 
-    focal = 0.5 * W / np.tan(0.5 * 0.6911)
+    # python float, NOT np.float64: an f64 scalar here promotes every GT
+    # array to f64 and NumPy's f64 sin/exp drop to scalar libm — measured
+    # 100x slower on the textured scene (r3)
+    focal = float(0.5 * W / np.tan(0.5 * 0.6911))
     c2w = np.eye(4, dtype=np.float32)[:3]
     c2w[2, 3] = 4.0
     # analytic GT in row strips — a whole-image 800×800×512-sample pts array
@@ -56,27 +59,43 @@ def main():
     scene_sharp = float(meta.get("scene_sharp", 25.0))
     scene_texture = float(meta.get("scene_texture", 0.0))
 
-    def strip_view(y0, n_rows, n_samples=512, near=2.0, far=6.0):
-        i, j = np.meshgrid(np.arange(W, dtype=np.float32),
-                           np.arange(y0, y0 + n_rows, dtype=np.float32),
-                           indexing="xy")
-        dirs = np.stack([(i - W * .5) / focal, -(j - H * .5) / focal,
-                         -np.ones_like(i)], -1)
-        rays_d = dirs @ c2w[:3, :3].T
-        rays_o = np.broadcast_to(c2w[:3, -1], rays_d.shape)
-        t = np.linspace(near, far, n_samples, dtype=np.float32)
-        pts = rays_o[..., None, :] + rays_d[..., None, :] * t[:, None]
-        rgb, sigma = field_np(pts, scale=scene_scale, sharp=scene_sharp,
-                              texture=scene_texture)
-        delta = (far - near) / (n_samples - 1) * np.linalg.norm(
-            rays_d, axis=-1, keepdims=True)
-        alpha = 1.0 - np.exp(-sigma * delta)
-        trans = np.cumprod(1.0 - alpha + 1e-10, axis=-1)
-        trans = np.concatenate(
-            [np.ones_like(trans[..., :1]), trans[..., :-1]], -1)
-        w = alpha * trans
-        img = (w[..., None] * rgb).sum(-2) + (1.0 - w.sum(-1)[..., None])
-        return np.clip(img, 0, 1).astype(np.float32)
+    def gt_render(n_samples=512, near=2.0, far=6.0, strip=50):
+        """Analytic GT under one jit on the device (field_jnp docstring:
+        the single-core host makes the NumPy sweep ~30 min; this is
+        seconds). Strips via lax.map bound memory."""
+        from fashion_nerf.data.synthetic import field_jnp
+
+        c2w_j = jnp.asarray(c2w)
+
+        def strip_fn(y0):
+            i = jnp.arange(W, dtype=jnp.float32)[None, :]
+            j = (y0 + jnp.arange(strip, dtype=jnp.float32))[:, None]
+            dirs = jnp.stack(
+                [jnp.broadcast_to((i - W * .5) / focal, (strip, W)),
+                 jnp.broadcast_to(-(j - H * .5) / focal, (strip, W)),
+                 -jnp.ones((strip, W), jnp.float32)], -1)
+            rays_d = dirs @ c2w_j[:3, :3].T
+            rays_o = jnp.broadcast_to(c2w_j[:3, -1], rays_d.shape)
+            t = jnp.linspace(near, far, n_samples, dtype=jnp.float32)
+            pts = rays_o[..., None, :] + rays_d[..., None, :] * t[:, None]
+            rgb, sigma = field_jnp(pts, scale=scene_scale,
+                                   sharp=scene_sharp,
+                                   texture=scene_texture)
+            delta = (far - near) / (n_samples - 1) * jnp.linalg.norm(
+                rays_d, axis=-1, keepdims=True)
+            alpha = 1.0 - jnp.exp(-sigma * delta)
+            trans = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
+            trans = jnp.concatenate(
+                [jnp.ones_like(trans[..., :1]), trans[..., :-1]], -1)
+            w = alpha * trans
+            img = (w[..., None] * rgb).sum(-2) \
+                + (1.0 - w.sum(-1)[..., None])
+            return jnp.clip(img, 0, 1)
+
+        y0s = jnp.arange(0, H, strip, dtype=jnp.float32)
+        img = jax.jit(lambda: jax.lax.map(strip_fn, y0s))()
+        float(img[0, 0, 0, 0])   # sync through the tunnel
+        return np.asarray(img).reshape(H, W, 3)
 
     cache_key = f"{scene_scale}_{scene_sharp}_{scene_texture}"
     gt = None
@@ -86,8 +105,7 @@ def main():
                 gt = z["gt"]
                 print(f"(GT from cache {args.gt_cache})", flush=True)
     if gt is None:
-        gt = np.concatenate([strip_view(y0, 50) for y0 in range(0, H, 50)],
-                            0)
+        gt = gt_render()
         if args.gt_cache:
             np.savez_compressed(args.gt_cache, gt=gt, key=cache_key)
     print("GT ready", flush=True)
@@ -95,6 +113,10 @@ def main():
     def render(n_coarse, n_fine, occ_on, blockwise=False, extra=()):
         cfg = load_config("blender_lego", [
             f"sampling.n_coarse={n_coarse}", f"sampling.n_fine={n_fine}",
+            # the sweep's budget must actually apply: zero out the preset's
+            # render-time eval budget override (config.py blender_lego)
+            f"render.eval_n_coarse={n_coarse}",
+            f"render.eval_n_fine={n_fine}",
             "occupancy.enabled=true"] + (
             ["kernels.use_pallas=true"] if blockwise else []) + list(extra))
         field_c, field_f = make_fields(cfg)
@@ -131,6 +153,11 @@ def main():
         ("blockwise 64+128 macro=1",
          dict(n_coarse=64, n_fine=128, occ_on=True, blockwise=True,
               extra=("occupancy.macro=1",))),
+        ("blockwise 16+32",
+         dict(n_coarse=16, n_fine=32, occ_on=True, blockwise=True)),
+        ("blockwise carry 16+32",
+         dict(n_coarse=16, n_fine=32, occ_on=True, blockwise=True,
+              extra=("kernels.fused_carry=true",))),
     ]
     wanted = [s.strip() for s in args.only.split(",") if s.strip()]
     gt_j = jnp.asarray(gt)

@@ -116,9 +116,12 @@ def run_bench(cfg: Config, H: int = 800, W: int = 800, warmup: int = 1,
     dt = (time.perf_counter() - t0) / iters
 
     rays_per_sec = H * W / dt
-    samples = cfg.sampling.n_coarse + (cfg.sampling.n_coarse
-                                       + cfg.sampling.n_fine
-                                       if cfg.sampling.n_fine > 0 else 0)
+    n_c, n_f = cfg.sampling.n_coarse, cfg.sampling.n_fine
+    if blockwise and (cfg.render.eval_n_coarse or cfg.render.eval_n_fine):
+        # the blockwise path honors the render-time budget override
+        n_c = cfg.render.eval_n_coarse or n_c
+        n_f = (cfg.render.eval_n_fine or n_f) if n_f > 0 else 0
+    samples = n_c + (n_c + n_f if n_f > 0 else 0)
     return {
         "metric": "rays/sec/chip at 800x800 render (coarse+fine, "
                   f"{samples} field evals/ray)",

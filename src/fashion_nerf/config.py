@@ -47,6 +47,14 @@ class RenderConfig:
     ndc: bool = False             # LLFF forward-facing reparameterization
     white_bkgd: bool = False
     chunk: int = 16384            # rays per device dispatch when rendering images
+    # render/eval-time sample budget for the blockwise production path
+    # (0 = use sampling.*). With occupancy culling the budget concentrates
+    # inside each ray's occupied interval, so a reduced budget reproduces
+    # the dense 64+128 render (r3 measured: 32+64 culled is within 0.09 dB
+    # of dense vs GT — scripts/quality_check.py); training keeps the full
+    # sampling.* budget. The XLA reference renderer ignores these.
+    eval_n_coarse: int = 0
+    eval_n_fine: int = 0
 
 
 @dataclass(frozen=True)
@@ -209,7 +217,12 @@ _register(Config(
     name="blender_lego",
     model=ModelConfig(compute_dtype="bfloat16"),
     sampling=SamplingConfig(n_coarse=64, n_fine=128, raw_noise_std=0.0),
-    render=RenderConfig(near=2.0, far=6.0, white_bkgd=True, chunk=32768),
+    # eval budget 32+64 (r3): with per-ray culled ranges the reduced budget
+    # matches the dense 64+128 render to −0.088 dB vs GT (quality_check on
+    # the textured trained ckpt) at 1.9× the throughput — the headline
+    # production render config. Training keeps the full 64+128.
+    render=RenderConfig(near=2.0, far=6.0, white_bkgd=True, chunk=32768,
+                        eval_n_coarse=32, eval_n_fine=64),
     # culling threshold 0.1: tightest box that still contains everything the
     # dense path integrates (sweep on the sparsity-3e-4 ckpt: thr 0.1 box =
     # thr 0.5 box + the real density tail, 60.7 dB vs dense and the fastest
@@ -217,10 +230,12 @@ _register(Config(
     # edge). Validated by scripts/quality_check.py + test_blockwise gates.
     occupancy=OccupancyConfig(enabled=True, sigma_threshold=0.1),
     # Pallas is the default path (r2): blockwise early-terminated render
-    # 1.25 s vs 2.39 s XLA on the trained ckpt; training uses the fused
-    # backward (within 4% of XLA at batch 4k, and the ONLY path at batch
-    # 16k — XLA's stored activations exceed HBM there). BASELINE.md rows.
-    kernels=KernelConfig(use_pallas=True),
+    # beats the dense XLA path ~2× on the trained ckpt; training uses the
+    # fused backward (within 4% of XLA at batch 4k, and the ONLY path at
+    # batch 16k — XLA's stored activations exceed HBM there). r3: the
+    # carry-in-VMEM march is default (1.19M vs 1.13M rays/s two-stage at
+    # the eval budget, equal quality after the precision fix). BASELINE.md.
+    kernels=KernelConfig(use_pallas=True, fused_carry=True),
     train=TrainConfig(iters=200_000, batch_rays=4096, precrop_iters=500,
                       # keeps unobserved space empty → tight occupancy box
                       sparsity_weight=1e-4),

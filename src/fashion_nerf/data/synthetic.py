@@ -61,26 +61,88 @@ def field_np(pts, scale: float = 1.0, sharp: float = 25.0,
     radius — 0.33 world units at 25, 0.10 at 80). texture (0..1) modulates
     each sphere's albedo with a high-frequency tri-axial sine pattern in
     cluster coordinates (framing-invariant) — the quality-gate hardener."""
-    sigma = np.zeros(pts.shape[:-1], np.float32)
-    rgb = np.zeros(pts.shape[:-1] + (3,), np.float32)
-    wsum = np.zeros(pts.shape[:-1], np.float32)
-    q = pts / max(scale, 1e-6)                 # cluster coords
+    # NumPy perf discipline (measured, r3): (a) force f32 — one f64 scalar
+    # leak (e.g. an np.float64 focal upstream) drops sin/exp to scalar libm,
+    # ~325× slower than the f32 SIMD path; (b) work on CONTIGUOUS per-axis
+    # arrays — ufuncs on strided (..., i) views and axis=-1 reductions on
+    # (N, 3) also fall off the SIMD path (norm alone measured 2.5 s vs
+    # 0.014 s per 2M points).
+    pts = np.asarray(pts, np.float32)
+    shp = pts.shape[:-1]
+    flat = pts.reshape(-1, 3)
+    x, y, z = (np.ascontiguousarray(flat[:, i]) for i in range(3))
+    inv_s = np.float32(1.0 / max(scale, 1e-6))
+    sigma = np.zeros(x.shape, np.float32)
+    chans = [np.zeros(x.shape, np.float32) for _ in range(3)]
+    wsum = np.zeros(x.shape, np.float32)
     for (c, r, col, dens), (freq, phase) in zip(_SPHERES, _TEXTURES):
-        d = np.linalg.norm(pts - c * scale, axis=-1)
-        occ = dens / (1.0 + np.exp(np.clip(sharp * (d - r * scale), -30, 30)))
-        col_pt = np.broadcast_to(col, pts.shape[:-1] + (3,))
+        cx, cy, cz = (np.float32(scale) * c.astype(np.float32))
+        dx, dy, dz = x - cx, y - cy, z - cz
+        d = np.sqrt(dx * dx + dy * dy + dz * dz)
+        occ = np.float32(dens) / (1.0 + np.exp(
+            np.clip(np.float32(sharp) * (d - np.float32(r * scale)),
+                    -30, 30), dtype=np.float32))
+        mod = None
         if texture > 0.0:
-            pat = (np.sin(freq[0] * q[..., 0] + phase[0])
-                   * np.sin(freq[1] * q[..., 1] + phase[1])
-                   * np.sin(freq[2] * q[..., 2] + phase[2]))
-            col_pt = np.clip(
-                col_pt * (1.0 + texture * pat[..., None]), 0.0, 1.0)
+            f = freq.astype(np.float32)
+            p = phase.astype(np.float32)
+            pat = (np.sin(f[0] * inv_s * x + p[0])
+                   * np.sin(f[1] * inv_s * y + p[1])
+                   * np.sin(f[2] * inv_s * z + p[2]))
+            mod = 1.0 + np.float32(texture) * pat
+        for ch in range(3):
+            colv = np.float32(col[ch])
+            if mod is None:
+                chans[ch] += occ * colv
+            else:
+                chans[ch] += occ * np.clip(colv * mod, 0.0, 1.0)
         sigma += occ
-        rgb += occ[..., None] * col_pt
         wsum += occ
-    rgb = rgb / np.maximum(wsum[..., None], 1e-8)
+    rgb = np.stack(chans, -1) / np.maximum(wsum[..., None], 1e-8)
     rgb = np.where(wsum[..., None] > 1e-8, rgb, 1.0)
-    return rgb.astype(np.float32), sigma.astype(np.float32)
+    return (rgb.reshape(shp + (3,)).astype(np.float32),
+            sigma.reshape(shp).astype(np.float32))
+
+
+def field_jnp(pts, scale: float = 1.0, sharp: float = 25.0,
+              texture: float = 0.0):
+    """jax.numpy mirror of field_np (same analytic field, f32) for
+    device-side ground-truth rendering — the host here has ONE CPU core at
+    ~2 GB/s, so a whole-image 512-sample GT sweep in NumPy costs ~30 min;
+    one jit on the chip does it in seconds (scripts/quality_check.py)."""
+    import jax.numpy as jnp
+    pts = pts.astype(jnp.float32)
+    x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+    inv_s = np.float32(1.0 / max(scale, 1e-6))
+    sigma = jnp.zeros(x.shape, jnp.float32)
+    chans = [jnp.zeros(x.shape, jnp.float32) for _ in range(3)]
+    wsum = jnp.zeros(x.shape, jnp.float32)
+    for (c, r, col, dens), (freq, phase) in zip(_SPHERES, _TEXTURES):
+        cx, cy, cz = (np.float32(scale) * c.astype(np.float32))
+        dx, dy, dz = x - cx, y - cy, z - cz
+        d = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+        occ = np.float32(dens) / (1.0 + jnp.exp(
+            jnp.clip(np.float32(sharp) * (d - np.float32(r * scale)),
+                     -30, 30)))
+        mod = None
+        if texture > 0.0:
+            f = freq.astype(np.float32)
+            p = phase.astype(np.float32)
+            pat = (jnp.sin(f[0] * inv_s * x + p[0])
+                   * jnp.sin(f[1] * inv_s * y + p[1])
+                   * jnp.sin(f[2] * inv_s * z + p[2]))
+            mod = 1.0 + np.float32(texture) * pat
+        for ch in range(3):
+            colv = np.float32(col[ch])
+            if mod is None:
+                chans[ch] = chans[ch] + occ * colv
+            else:
+                chans[ch] = chans[ch] + occ * jnp.clip(colv * mod, 0.0, 1.0)
+        sigma = sigma + occ
+        wsum = wsum + occ
+    rgb = jnp.stack(chans, -1) / jnp.maximum(wsum[..., None], 1e-8)
+    rgb = jnp.where(wsum[..., None] > 1e-8, rgb, 1.0)
+    return rgb, sigma
 
 
 def _render_view(H, W, focal, c2w, n_samples=128, near=2.0, far=6.0,

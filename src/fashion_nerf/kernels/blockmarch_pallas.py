@@ -6,10 +6,17 @@ This is the middle design point between the two-stage pipeline
 (render/blockwise.py: Pallas field + XLA carry glue per block) and the
 rejected megakernel (kernels/megakernel_pallas.py: whole march NB-unrolled in
 one program — its sequencing cost grew with the body, config.py:85-94). Here
-the per-program body stays one block (small, pipelinable: Pallas
-double-buffers the t/d block DMAs across programs) while the per-block XLA
-glue — carry update, pts build, rgb/σ HBM round-trips — moves in-kernel
+the per-program body stays one block (small, pipelinable) while the per-block
+XLA glue — carry update, pts build, rgb/σ HBM round-trips — moves in-kernel
 (VERDICT r2 next #1b; CLAUDE.md backlog #1).
+
+Window layout: Mosaic requires block lane counts divisible by 128 or equal
+to the full array width, so the (R, S_pad) t/dists/weights arrays use
+per-TILE full-width windows mapped (t, 0) — loaded/flushed ONCE per tile,
+reused across its block programs — and the kernel selects block b's SB lanes
+with dynamic lane slices (pl.ds on a multiple_of-hinted offset). Narrow
+per-(t, b) windows like (rpt, SB=32) are rejected by the TPU lowering
+(measured r3; interpret mode does not enforce the rule).
 
 Layout notes inherited from the megakernel (measured on v5e):
 - MLP runs in rows-of-features; Mosaic supports the (rows,1)→(rpt,SB)
@@ -43,7 +50,7 @@ from fashion_nerf.kernels.posenc_mlp_pallas import (
 _LOG_FLOOR = -23.025851   # log(1e-10): mirrors core.volrend's cumprod clamp
 
 
-def _carry_kernel(plan, L, SB, rpt, log_eps, softplus, il, has_cond,
+def _carry_kernel(plan, L, SB, rpt, NB, log_eps, softplus, il, has_cond,
                   hit_ref, bhit_ref, o_ref, dv_ref, dirpart_ref, *refs):
     if has_cond:
         condpart_ref, *refs = refs
@@ -59,6 +66,7 @@ def _carry_kernel(plan, L, SB, rpt, log_eps, softplus, il, has_cond,
     fmat, off = fmat_ref[:], off_ref[:]
     ut = ut_ref[:]
     b = pl.program_id(1)
+    off_b = pl.multiple_of(b * SB, SB)
 
     # accumulator windows map to (t, 0): they stay resident in VMEM across
     # the tile's sequential block programs and flush once per tile
@@ -67,10 +75,17 @@ def _carry_kernel(plan, L, SB, rpt, log_eps, softplus, il, has_cond,
         rgb_ref[:] = jnp.zeros_like(rgb_ref)
         depth_ref[:] = jnp.zeros_like(depth_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
+        w_ref[:] = jnp.zeros_like(w_ref)
         logT_ref[:] = jnp.zeros_like(logT_ref)
 
     hit = hit_ref[:]                                   # (rpt, 1) f32
-    bhit = bhit_ref[:]                                 # (rpt, 1) f32
+    # block b's macro-box flags: column select from the (rpt, NB) window
+    # via iota mask (NB is a handful of lanes; a dynamic 1-lane slice would
+    # relayout for no benefit)
+    bh_all = bhit_ref[:]
+    lane_nb = jax.lax.broadcasted_iota(jnp.int32, bh_all.shape, 1)
+    bhit = jnp.max(jnp.where(lane_nb == b, bh_all, 0.0), axis=1,
+                   keepdims=True)                      # (rpt, 1)
     logT_now = logT_ref[:]
     alive = jnp.max(jnp.where(
         (hit > 0.0) & (bhit > 0.0) & (logT_now > log_eps), 1.0, 0.0))
@@ -84,9 +99,29 @@ def _carry_kernel(plan, L, SB, rpt, log_eps, softplus, il, has_cond,
 
     @pl.when(alive > 0.0)
     def _block():
+        # dynamic-offset selector (SB, S_pad): sel[i, j] = (j == off_b + i).
+        # Mosaic rejects dynamic lane-offset vector loads/stores, so block
+        # b's lanes are gathered/scattered with tiny MXU matmuls instead
+        # (module docstring)
+        s_col = jax.lax.broadcasted_iota(jnp.int32, (SB, tmat_ref.shape[1]),
+                                         1)
+        s_row = jax.lax.broadcasted_iota(jnp.int32, (SB, tmat_ref.shape[1]),
+                                         0)
+        sel = jnp.where(s_col == s_row + off_b, 1.0, 0.0).astype(jnp.float32)
+
+        def gather(full):                              # (rH,S_pad)→(rH,SB)
+            # HIGHEST precision: the default MXU pass rounds the operand to
+            # bf16 — a t≈4.0 gathered at bf16x2 lands ~2e-5 off, which the
+            # textured field amplifies ~100× (measured: coarse-pass rms
+            # 1.2e-3 vs two-stage, −1.6 dB vs GT end-to-end)
+            return jax.lax.dot_general(
+                full, sel, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+
         for j in range(il):
             rsl = pl.ds(j * rH, rH)                    # ray slice
-            t_bj = tmat_ref[rsl, :]                    # (rH, SB)
+            t_bj = gather(tmat_ref[rsl, :])            # (rH, SB)
             # row-layout t via iota-mask select (megakernel rationale)
             t_exp = jnp.broadcast_to(
                 t_bj[:, None, :], (rH, SB, SB)).reshape(rows, SB)
@@ -102,16 +137,24 @@ def _carry_kernel(plan, L, SB, rpt, log_eps, softplus, il, has_cond,
             dens = (jax.nn.softplus(sig) if softplus
                     else jnp.maximum(sig, 0.0))
             dens_m = dens.reshape(rH, SB)              # rows→matrix relayout
-            d_b = dmat_ref[rsl, :]
+            d_b = gather(dmat_ref[rsl, :])
             x = dens_m * d_b
             log_om = jnp.maximum(-x, _LOG_FLOOR)
+            # HIGHEST: log_om reaches −23·SB; a bf16-pass product rounds
+            # the exclusive prefix enough to shift exp(logT) visibly
             csum_ex = jnp.dot(log_om, ut,
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
             logT_j = logT_ref[rsl, :]
             logT_in = logT_j + csum_ex                 # (rH, SB)
             alpha = 1.0 - jnp.exp(-x)
             w = alpha * jnp.exp(logT_in)
-            w_ref[rsl, :] = w
+            # disjoint-lane scatter-add into the zero-initialized window
+            # (HIGHEST: default MXU precision would round the WEIGHTS to
+            # bf16 — these feed the coarse→fine CDF resample)
+            w_ref[rsl, :] += jnp.dot(w, sel,
+                                     preferred_element_type=jnp.float32,
+                                     precision=jax.lax.Precision.HIGHEST)
 
             parts = [jnp.sum(w * rgb[:, c:c + 1].reshape(rH, SB),
                              axis=1, keepdims=True) for c in range(3)]
@@ -120,12 +163,6 @@ def _carry_kernel(plan, L, SB, rpt, log_eps, softplus, il, has_cond,
             acc_ref[rsl, :] += jnp.sum(w, axis=1, keepdims=True)
             logT_ref[rsl, :] = logT_j + jnp.sum(log_om, axis=1,
                                                 keepdims=True)
-
-    @pl.when(alive <= 0.0)
-    def _dead():
-        # the (t, b) weights window is per-block output: unwritten VMEM is
-        # garbage on hardware — dead blocks contribute exact zero weight
-        w_ref[:] = jnp.zeros_like(w_ref)
 
 
 @functools.partial(
@@ -158,7 +195,7 @@ def _carry_eval(weight_arrs, dirpart, condpart, rays_o, rays_d, hit,
     ut = jnp.asarray(np.triu(np.ones((SB, SB), np.float32), 1))
 
     kernel = functools.partial(
-        _carry_kernel, plan, L, SB, rpt, float(log_eps), softplus,
+        _carry_kernel, plan, L, SB, rpt, NB, float(log_eps), softplus,
         _INTERLEAVE, has_cond)
 
     def _const2d(a):
@@ -166,27 +203,25 @@ def _carry_eval(weight_arrs, dirpart, condpart, rays_o, rays_d, hit,
                             memory_space=pltpu.VMEM)
 
     def _per_tile(width):
+        # full-width per-tile windows, revisited across the tile's block
+        # programs (loaded/flushed once per tile — see module docstring)
         return pl.BlockSpec((rpt, width), lambda t, b: (t, 0),
-                            memory_space=pltpu.VMEM)
-
-    def _per_block(width):
-        return pl.BlockSpec((rpt, width), lambda t, b: (t, b),
                             memory_space=pltpu.VMEM)
 
     cond_inputs = (condpart,) if has_cond else ()
     in_specs = [
         _per_tile(1),                                  # hit
-        _per_block(1),                                 # block_hit
+        _per_tile(NB),                                 # block_hit
         _per_tile(3),                                  # rays_o
         _per_tile(3),                                  # rays_d
         _per_tile(dirpart.shape[1]),                   # dirpart
     ] + [_per_tile(a.shape[1]) for a in cond_inputs] + [
-        _per_block(SB),                                # t block
-        _per_block(SB),                                # dists block
+        _per_tile(S_pad),                              # t matrix
+        _per_tile(S_pad),                              # dists matrix
         _const2d(fmat), _const2d(foff), _const2d(ut),
     ] + [_const2d(a) for a in weight_arrs]
 
-    out_specs = (_per_tile(3), _per_tile(1), _per_tile(1), _per_block(SB),
+    out_specs = (_per_tile(3), _per_tile(1), _per_tile(1), _per_tile(S_pad),
                  _per_tile(1))
     out_shape = (
         jax.ShapeDtypeStruct((R, 3), jnp.float32),

@@ -264,6 +264,15 @@ def render_rays_blockwise(params, cfg: Config, rays_o, rays_d, viewdirs,
     from fashion_nerf.kernels.posenc_mlp_pallas import make_block_evaluator
 
     scfg, rcfg = cfg.sampling, cfg.render
+    if rcfg.eval_n_coarse > 0 or rcfg.eval_n_fine > 0:
+        # render-time budget override (RenderConfig.eval_n_*): the culled
+        # reduced budget reproduces the dense render (quality_check gate)
+        import dataclasses
+        scfg = dataclasses.replace(
+            scfg,
+            n_coarse=rcfg.eval_n_coarse or scfg.n_coarse,
+            n_fine=(rcfg.eval_n_fine or scfg.n_fine) if scfg.n_fine > 0
+            else 0)
     R = rays_o.shape[0]
     pack, hoist_dirs, hoist_cond, eval_block, rays_per_tile = \
         make_block_evaluator(cfg)

@@ -27,6 +27,12 @@ def _cfg(interpret, overrides=()):
         "kernels.use_pallas=true",
         f"kernels.interpret={'true' if interpret else 'false'}",
         "sampling.n_coarse=32", "sampling.n_fine=32",
+        # the preset ships a reduced render-time eval budget (r3) — zero it
+        # so these equivalence tests compare identical sample sets
+        "render.eval_n_coarse=0", "render.eval_n_fine=0",
+        # r3: the preset defaults to the carry march; most equivalence
+        # tests pin the two-stage pipeline and the carry tests flip it on
+        "kernels.fused_carry=false",
     ] + list(overrides))
 
 
@@ -161,6 +167,18 @@ class TestEquivalenceInterpret:
                                    cond=cond)
         ref = _dense_reference(params, cfg, rays_o, rays_d, cond=cond)
         _assert_close(bw["fine"], ref)
+
+    def test_eval_budget_override(self):
+        # r3: RenderConfig.eval_n_* reduce the blockwise render budget
+        # without touching the training sampling config
+        cfg = _cfg(interpret=True, overrides=[
+            "render.eval_n_coarse=16", "render.eval_n_fine=16",
+            "kernels.early_term_eps=0.0"])
+        params = _rand_params(cfg)
+        rays_o, rays_d = _ray_fan(R=64)
+        bw = render_rays_blockwise(params, cfg, rays_o, rays_d, rays_d)
+        assert bw["coarse"]["weights"].shape[1] == 16
+        assert bw["fine"]["weights"].shape[1] == 32   # 16 coarse + 16 fine
 
     def test_coarse_only(self):
         cfg = _cfg(interpret=True, overrides=["sampling.n_fine=0",
