@@ -238,7 +238,11 @@ _register(Config(
     kernels=KernelConfig(use_pallas=True, fused_carry=True),
     train=TrainConfig(iters=200_000, batch_rays=4096, precrop_iters=500,
                       # keeps unobserved space empty → tight occupancy box
-                      sparsity_weight=1e-4),
+                      sparsity_weight=1e-4,
+                      # r3 (VERDICT r2 #3): occupancy-accelerated training —
+                      # measured 1.61× wall / 97.5k steady rays/s at equal
+                      # val PSNR @3k (−0.01 dB) on the textured scene
+                      occ_train=True),
     data=DataConfig(dataset="blender"),
 ))
 
