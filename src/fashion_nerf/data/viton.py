@@ -77,35 +77,62 @@ def load_viton_scene(root: str, pair_id: str = "", n_views: int = 12,
 
 
 def synth_viton_pair(H: int = 64, W: int = 64, seed: int = 0) -> dict:
-    """Procedural VITON-style pair for hermetic tests (SURVEY.md §4.6)."""
+    """Procedural VITON-style pair for hermetic tests (SURVEY.md §4.6).
+
+    seed=0 reproduces the original fixed pair (tests depend on it);
+    seed != 0 randomizes the geometry — torso position/extent/taper,
+    garment split, cloth rectangle — providing the pair distribution the
+    learned correspondence matcher trains on (tryon/matcher.py,
+    VERDICT r2 #8)."""
     rng = np.random.default_rng(seed)
     yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
-    # torso-ish ellipse as "person", upper half labeled garment
-    cx, cy = W / 2, H / 2
-    person = (((xx - cx) / (W * 0.25)) ** 2
-              + ((yy - cy) / (H * 0.4)) ** 2) < 1.0
+    if seed == 0:
+        cx, cy = W / 2, H / 2
+        rx, ry = W * 0.25, H * 0.4
+        taper = 0.0
+        g_frac = 0.5                     # garment = upper half
+        c_x0, c_x1 = W * 0.2, W * 0.8
+        c_y0, c_y1 = H * 0.3, H * 0.7
+    else:
+        cx = W * (0.5 + rng.uniform(-0.08, 0.08))
+        cy = H * (0.5 + rng.uniform(-0.06, 0.06))
+        rx = W * rng.uniform(0.18, 0.3)
+        ry = H * rng.uniform(0.32, 0.44)
+        taper = rng.uniform(-0.35, 0.35)   # shoulder-vs-hip width skew
+        g_frac = rng.uniform(0.4, 0.6)
+        c_x0 = W * rng.uniform(0.12, 0.3)
+        c_x1 = W * rng.uniform(0.65, 0.9)
+        c_y0 = H * rng.uniform(0.2, 0.38)
+        c_y1 = H * rng.uniform(0.6, 0.82)
+    # torso-ish ellipse as "person" with linear width taper down the body
+    ynorm = np.clip((yy - (cy - ry)) / (2 * ry), 0.0, 1.0)
+    rx_row = rx * (1.0 + taper * (ynorm - 0.5))
+    person = (((xx - cx) / np.maximum(rx_row, 1e-3)) ** 2
+              + ((yy - cy) / ry) ** 2) < 1.0
+    y_split = cy - ry + 2 * ry * g_frac
     parse = np.zeros((H, W), np.int32)
     parse[person] = 9                                   # pants default
-    upper = person & (yy < cy)
+    upper = person & (yy < y_split)
     parse[upper] = 5                                    # upper garment
-    head = person & (yy < cy - H * 0.3)
+    head = person & (yy < cy - ry * 0.75)
     parse[head] = 13
     image = np.full((H, W, 3), 0.9, np.float32)
     image[person] = [0.6, 0.45, 0.35]
     image[upper] = [0.2, 0.3, 0.8]
     # flat lay "cloth": rectangle with stripes
     cloth = np.full((H, W, 3), 1.0, np.float32)
-    rect = (xx > W * 0.2) & (xx < W * 0.8) & (yy > H * 0.3) & (yy < H * 0.7)
+    rect = (xx > c_x0) & (xx < c_x1) & (yy > c_y0) & (yy < c_y1)
     stripes = ((xx // 4) % 2).astype(bool)
     cloth[rect & stripes] = [0.8, 0.1, 0.2]
     cloth[rect & ~stripes] = [0.95, 0.85, 0.3]
     cloth_mask = rect.astype(np.float32)
+    sh_y = (cy - H * 0.2) if seed == 0 else (y_split - ry * 0.15)
     kpts = np.array([[cx, cy - H * 0.35, 1],            # nose-ish
-                     [cx, cy - H * 0.2, 1],             # neck
-                     [cx - W * 0.2, cy - H * 0.2, 1],   # r shoulder
+                     [cx, sh_y, 1],                     # neck
+                     [cx - W * 0.2, sh_y, 1],           # r shoulder
                      [cx - W * 0.25, cy, 1],            # r elbow
                      [cx - W * 0.25, cy + H * 0.2, 1],  # r wrist
-                     [cx + W * 0.2, cy - H * 0.2, 1],   # l shoulder
+                     [cx + W * 0.2, sh_y, 1],           # l shoulder
                      [cx + W * 0.25, cy, 1],
                      [cx + W * 0.25, cy + H * 0.2, 1]]
                     + [[0, 0, 0]] * 10, np.float32)

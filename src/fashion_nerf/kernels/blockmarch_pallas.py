@@ -182,12 +182,14 @@ def _carry_eval(weight_arrs, dirpart, condpart, rays_o, rays_d, hit,
     R, S_pad = t_pad.shape
     assert S_pad % SB == 0, (S_pad, SB)
     NB = S_pad // SB
-    rpt = _TILE // SB
+    has_cond = condpart is not None
+    assert has_cond == any(t.endswith("_c") for t in plan), plan
+    # conditioned plans halve the tile (posenc_mlp_pallas._fused_eval
+    # rationale: the condpart expansion pushes the VMEM scope over budget)
+    rpt = (_TILE // 2 if has_cond else _TILE) // SB
     assert R % rpt == 0, (R, rpt)
     assert rpt % _INTERLEAVE == 0, (rpt, _INTERLEAVE)
     n_tiles = R // rpt
-    has_cond = condpart is not None
-    assert has_cond == any(t.endswith("_c") for t in plan), plan
     assert block_hit.shape == (R, NB), (block_hit.shape, R, NB)
 
     fmat = jnp.asarray(_freq_row(max(L, 1)))

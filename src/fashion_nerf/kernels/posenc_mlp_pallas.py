@@ -344,13 +344,16 @@ def _fused_eval(weight_arrs, pts_flat, dirpart_flat, plan, L,
     the host-side broadcast is ~spr× the HBM traffic. condpart_flat: the
     hoisted cond-branch rows, required iff the plan carries "_c" tags."""
     n = pts_flat.shape[0]
-    tile = min(_TILE, n)
+    has_cond = any(t.endswith("_c") for t in plan)
+    assert has_cond == (condpart_flat is not None), plan
+    # conditioned plans halve the tile: the double-buffered (tile, nc·W)
+    # condpart window pushed tile=2048 240 KB past the 16 MB VMEM scope
+    # (measured r3 on the viton train graph; a single-tile grid hides it)
+    tile = min(_TILE // 2 if has_cond else _TILE, n)
     assert n % tile == 0, (n, tile)
     # each interleave-half must cover whole rays for the in-kernel expand
     assert tile % (spr * _INTERLEAVE) == 0, (tile, spr)
     grid = (n // tile,)
-    has_cond = any(t.endswith("_c") for t in plan)
-    assert has_cond == (condpart_flat is not None), plan
     if alive is None:
         alive = jnp.ones((n // tile, 1), jnp.float32)
     assert alive.shape == (n // tile, 1), (alive.shape, n, tile)
@@ -427,7 +430,7 @@ def make_fused_field(cfg: Config):
     def _fused_forward(params, pts, viewdirs, cond):
         R, S = pts.shape[0], pts.shape[1]
         n = R * S
-        tile = min(_TILE, n)
+        tile = min(_TILE // 2 if cond is not None else _TILE, n)
         pad = (-n) % tile
         pts_flat = pts.reshape(n, 3)
         arrs, plan, dir_kernel, cond_kernel = pack_params(params, mcfg)
@@ -565,11 +568,16 @@ def make_block_evaluator(cfg: Config):
                        preferred_element_type=jnp.float32
                        ).astype(jnp.bfloat16)                 # (R, nc·W)
 
+    # conditioned models run a halved tile (see _fused_eval: the condpart
+    # window overflows the VMEM scope at 2048)
+    tile_eff = (_TILE // 2 if (mcfg.conditioned or mcfg.n_latents > 0)
+                else _TILE)
+
     def eval_block(packed, dirpart, condpart, pts, alive):
         arrs, plan = packed[0], packed[1]
         R, SB = pts.shape[0], pts.shape[1]
         n = R * SB
-        assert n % _TILE == 0, (R, SB, _TILE)
+        assert n % tile_eff == 0, (R, SB, tile_eff)
         pts_flat = pts.reshape(n, 3)
         # dirpart/condpart stay per-RAY ((R, ·)); the kernel expands them per
         # sample in VMEM (spr=SB) instead of streaming an (n, ·) broadcast
@@ -579,8 +587,8 @@ def make_block_evaluator(cfg: Config):
         return rgb.reshape(R, SB, 3), sigma[:, 0].reshape(R, SB)
 
     def rays_per_tile(block_samples: int) -> int:
-        assert _TILE % block_samples == 0, (block_samples, _TILE)
-        return _TILE // block_samples
+        assert tile_eff % block_samples == 0, (block_samples, tile_eff)
+        return tile_eff // block_samples
 
     return pack, hoist_dirs, hoist_cond, eval_block, rays_per_tile
 
@@ -797,11 +805,14 @@ def _field_bwd_kernel(plan, L, n_arrs, pts_ref, dirpart_ref, *refs):
 def _fused_bwd_eval(weight_arrs, pts_flat, dirpart_flat, ga_flat, gb_flat,
                     plan, L, interpret=False, condpart_flat=None):
     n = pts_flat.shape[0]
-    tile = min(_BWD_TILE, n)
-    assert n % tile == 0, (n, tile)
-    grid = (n // tile,)
     has_cond = any(t.endswith("_c") for t in plan)
     assert has_cond == (condpart_flat is not None), plan
+    # conditioned plans halve the backward tile too: condpart input +
+    # (tile, nc·W) f32 dcond output don't fit the 512-row budget
+    # (_BWD_TILE rationale — 1024 rows already measured 2.3 MB over)
+    tile = min(_BWD_TILE // 2 if has_cond else _BWD_TILE, n)
+    assert n % tile == 0, (n, tile)
+    grid = (n // tile,)
 
     fmat = jnp.asarray(_freq_row(max(L, 1)))
     foff = jnp.asarray(_phase_offset(max(L, 1)))
@@ -867,7 +878,7 @@ def _pallas_backward(params, pts, viewdirs, cond, g_rgb, g_sigma,
     Returns (param grads tree, d_pts, d_viewdirs, d_cond)."""
     R, S = pts.shape[0], pts.shape[1]
     n = R * S
-    tile = min(_BWD_TILE, n)
+    tile = min(_BWD_TILE // 2 if cond is not None else _BWD_TILE, n)
     pad = (-n) % tile
     arrs, plan, dir_kernel, cond_kernel = pack_params(params, mcfg)
 
