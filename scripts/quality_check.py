@@ -158,6 +158,15 @@ def main():
         ("blockwise carry 16+32",
          dict(n_coarse=16, n_fine=32, occ_on=True, blockwise=True,
               extra=("kernels.fused_carry=true",))),
+        ("blockwise carry 32+32",
+         dict(n_coarse=32, n_fine=32, occ_on=True, blockwise=True,
+              extra=("kernels.fused_carry=true",))),
+        ("blockwise carry 24+48",
+         dict(n_coarse=24, n_fine=48, occ_on=True, blockwise=True,
+              extra=("kernels.fused_carry=true",))),
+        ("blockwise carry 32+64 macro=8",
+         dict(n_coarse=32, n_fine=64, occ_on=True, blockwise=True,
+              extra=("kernels.fused_carry=true", "occupancy.macro=8"))),
     ]
     wanted = [s.strip() for s in args.only.split(",") if s.strip()]
     gt_j = jnp.asarray(gt)

@@ -228,7 +228,9 @@ _register(Config(
     # thr 0.5 box + the real density tail, 60.7 dB vs dense and the fastest
     # live chunk; thr 0.02 picks up junk floaters and the box hits the world
     # edge). Validated by scripts/quality_check.py + test_blockwise gates.
-    occupancy=OccupancyConfig(enabled=True, sigma_threshold=0.1),
+    # macro=8 (r3): 512 sub-AABBs — tighter per-ray intervals AND better
+    # quality than macro=4 (−0.076 vs −0.088 dB vs GT) at ~1.12× throughput
+    occupancy=OccupancyConfig(enabled=True, sigma_threshold=0.1, macro=8),
     # Pallas is the default path (r2): blockwise early-terminated render
     # beats the dense XLA path ~2× on the trained ckpt; training uses the
     # fused backward (within 4% of XLA at batch 4k, and the ONLY path at

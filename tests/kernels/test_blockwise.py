@@ -322,6 +322,25 @@ class TestCompiledTPU:
         _assert_close(bw["fine"], ref)
 
     @pytest.mark.skipif(not _HAS_ASSET, reason="asset missing")
+    def test_fused_carry_compiled(self):
+        # the default production march (r3): carry vs two-stage on the
+        # trained ckpt, compiled — agreement must sit at the f32 level
+        # after the precision=HIGHEST selector fix (BASELINE.md r3)
+        params, _ = load_flagship()
+        rays_o, rays_d = _ray_fan(R=1024)
+        outs = []
+        for carry in (False, True):
+            cfg = _cfg(interpret=False,
+                       overrides=["kernels.early_term_eps=1e-4",
+                                  f"kernels.fused_carry="
+                                  f"{'true' if carry else 'false'}"])
+            bw = jax.jit(lambda cfg=cfg: render_rays_blockwise(
+                params, cfg, rays_o, rays_d, rays_d))()
+            outs.append(bw["fine"])
+        p = float(psnr(outs[1]["rgb"], outs[0]["rgb"]))
+        assert p > 60.0, f"carry vs two-stage PSNR {p:.1f} dB"
+
+    @pytest.mark.skipif(not _HAS_ASSET, reason="asset missing")
     def test_megakernel_compiled(self):
         # trained weights: megakernel vs two-stage, compiled on the chip
         cfg_t = _cfg(interpret=False,
