@@ -167,6 +167,24 @@ def main():
         ("blockwise carry 32+64 macro=8",
          dict(n_coarse=32, n_fine=64, occ_on=True, blockwise=True,
               extra=("kernels.fused_carry=true", "occupancy.macro=8"))),
+        ("blockwise carry 32+64 macro=16 res=128",
+         dict(n_coarse=32, n_fine=64, occ_on=True, blockwise=True,
+              extra=("kernels.fused_carry=true", "occupancy.macro=16",
+                     "occupancy.resolution=128"))),
+        ("blockwise carry 32+64 eps=1e-3",
+         dict(n_coarse=32, n_fine=64, occ_on=True, blockwise=True,
+              extra=("kernels.fused_carry=true", "occupancy.macro=8",
+                     "kernels.early_term_eps=1e-3"))),
+        ("blockwise carry 32+64 SB=64",
+         dict(n_coarse=32, n_fine=64, occ_on=True, blockwise=True,
+              extra=("kernels.fused_carry=true", "occupancy.macro=8",
+                     "kernels.early_term_eps=1e-3",
+                     "kernels.block_samples=64"))),
+        ("blockwise carry 64+64 SB=64",
+         dict(n_coarse=64, n_fine=64, occ_on=True, blockwise=True,
+              extra=("kernels.fused_carry=true", "occupancy.macro=8",
+                     "kernels.early_term_eps=1e-3",
+                     "kernels.block_samples=64"))),
     ]
     wanted = [s.strip() for s in args.only.split(",") if s.strip()]
     gt_j = jnp.asarray(gt)

@@ -237,7 +237,10 @@ _register(Config(
     # batch 16k — XLA's stored activations exceed HBM there). r3: the
     # carry-in-VMEM march is default (1.19M vs 1.13M rays/s two-stage at
     # the eval budget, equal quality after the precision fix). BASELINE.md.
-    kernels=KernelConfig(use_pallas=True, fused_carry=True),
+    # ε=1e-3: same measured quality as 1e-4 (−0.076 dB vs GT) at +2.3%
+    # throughput on the trained ckpt
+    kernels=KernelConfig(use_pallas=True, fused_carry=True,
+                         early_term_eps=1e-3),
     train=TrainConfig(iters=200_000, batch_rays=4096, precrop_iters=500,
                       # keeps unobserved space empty → tight occupancy box
                       sparsity_weight=1e-4,

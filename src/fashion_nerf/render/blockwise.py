@@ -117,12 +117,18 @@ def _marched_pass_mega(packed, dirpart, rays_o, rays_d, t_vals, dnorm,
 
 def _block_hit_flags(t_pad, SB, seg, R, NB):
     """(R, NB) f32 macro-box block-interval flags (1 = block may contain
-    occupied space) — all-ones when no macro grid is in play."""
+    occupied space) — all-ones when no macro grid is in play.
+
+    Block t-range: start = first sample (pads only append, so it is real);
+    end = MAX over the block — NOT the last slot, which is a 0.0-position
+    pad sentinel when the budget doesn't divide SB (that bug culled every
+    pad-ending block: measured −3.6 dB and a fake +65% at SB=64, r3)."""
     if seg is None:
         return jnp.ones((R, NB), jnp.float32)
     seg_lo, seg_hi, seg_hit = seg
-    t_starts = t_pad[:, ::SB]                                    # (R, NB)
-    t_ends = t_pad[:, SB - 1::SB]
+    tb = t_pad.reshape(R, NB, SB)
+    t_starts = tb[:, :, 0]                                       # (R, NB)
+    t_ends = jnp.max(tb, axis=2)
     overlap = ((seg_lo[:, None, :] <= t_ends[..., None])
                & (seg_hi[:, None, :] >= t_starts[..., None])
                & seg_hit[:, None, :])

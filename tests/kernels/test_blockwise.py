@@ -280,6 +280,36 @@ class TestTrainedTermination:
         assert p > 40.0, f"macro vs global-AABB PSNR {p:.1f} dB"
         assert fracs[1] <= fracs[0] + 1e-6, fracs
 
+    def test_padded_block_is_not_culled(self):
+        """Regression (r3): a sample block whose tail is 0.0-position pad
+        sentinels (budget not a multiple of SB) must use the MAX real t as
+        its interval end for the macro-box test — the last-slot version
+        culled every pad-ending block (−3.6 dB, and a fake speedup)."""
+        from fashion_nerf.core.cameras import generate_rays
+        H = W = 32
+        focal = 0.5 * W / np.tan(0.5 * 0.6911)
+        c2w = np.eye(4, dtype=np.float32)[:3]
+        c2w[2, 3] = 4.0
+        ro, rd = generate_rays(H, W, focal, jnp.asarray(c2w))
+        rays_o, rays_d = ro.reshape(-1, 3), rd.reshape(-1, 3)
+        params, _ = load_flagship()
+        outs = []
+        for sb in (32, 64):       # coarse budget 32: SB=64 pads the block
+            cfg = _cfg(interpret=True, overrides=[
+                "kernels.early_term_eps=0.0",
+                "occupancy.enabled=true", "occupancy.resolution=32",
+                "occupancy.macro=4", "kernels.fused_carry=true",
+                "sampling.n_coarse=32", "sampling.n_fine=32",
+                f"kernels.block_samples={sb}"])
+            fused = make_fused_field(cfg)
+            occ = build_from_config(
+                cfg, functools.partial(fused, params["fine"]))
+            bw = render_rays_blockwise(params, cfg, rays_o, rays_d, rays_d,
+                                       occ=occ)
+            outs.append(bw["fine"])
+        p = float(psnr(outs[1]["rgb"], outs[0]["rgb"]))
+        assert p > 45.0, f"SB=64 (padded block) vs SB=32 PSNR {p:.1f} dB"
+
     def test_miss_rays_cost_nothing_and_render_background(self):
         cfg, params, occ = self._setup(eps=1e-4, use_occ=True)
         # a fan that entirely misses the scene box
