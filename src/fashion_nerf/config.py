@@ -221,7 +221,9 @@ _register(Config(
     # matches the dense 64+128 render to −0.088 dB vs GT (quality_check on
     # the textured trained ckpt) at 1.9× the throughput — the headline
     # production render config. Training keeps the full 64+128.
-    render=RenderConfig(near=2.0, far=6.0, white_bkgd=True, chunk=32768,
+    # chunk 8192 (r3 sweep: 1.36M vs 1.32M at 32768): finer whole-chunk
+    # lax.cond skip granularity beats the extra dispatches
+    render=RenderConfig(near=2.0, far=6.0, white_bkgd=True, chunk=8192,
                         eval_n_coarse=32, eval_n_fine=64),
     # culling threshold 0.1: tightest box that still contains everything the
     # dense path integrates (sweep on the sparsity-3e-4 ckpt: thr 0.1 box =
