@@ -117,8 +117,10 @@ def run_bench(cfg: Config, H: int = 800, W: int = 800, warmup: int = 1,
 
     rays_per_sec = H * W / dt
     n_c, n_f = cfg.sampling.n_coarse, cfg.sampling.n_fine
-    if blockwise and (cfg.render.eval_n_coarse or cfg.render.eval_n_fine):
-        # the blockwise path honors the render-time budget override
+    if blockwise and occ is not None and (cfg.render.eval_n_coarse
+                                          or cfg.render.eval_n_fine):
+        # the blockwise path honors the render-time budget override, but
+        # only under occupancy culling (render_rays_blockwise — ADVICE r3)
         n_c = cfg.render.eval_n_coarse or n_c
         n_f = (cfg.render.eval_n_fine or n_f) if n_f > 0 else 0
     samples = n_c + (n_c + n_f if n_f > 0 else 0)

