@@ -107,16 +107,17 @@ class KernelConfig:
     # The middle point between the two-stage pipeline and the rejected
     # megakernel (VERDICT r2 next #1b).
     fused_carry: bool = False
-    # megakernel (kernels/megakernel_pallas.py): march ALL sample blocks of
-    # a ray tile inside ONE Pallas program — MLP + transmittance carry +
-    # compositing fused, per-block pl.when termination. Implemented to
-    # amortize the measured ~10 µs/program launch overhead (glue_bisect.py),
-    # but the per-program sequencing cost grows with the NB-unrolled body
-    # and eats the savings: live chunk 142 ms vs the two-stage pipeline's
-    # 113 (dead 63 vs 56; 2048-row variant 208/77). Off by default; kept as
-    # the measured §5.7 blockwise-carry design with equivalence tests
-    # (83.6 dB vs two-stage on the trained ckpt).
-    megakernel: bool = False
+    # RETIRED (r4): a third march variant — the megakernel (whole block
+    # march NB-unrolled in ONE program per ray tile) — was built in r2,
+    # measured slower (live chunk 142 ms vs the two-stage pipeline's 113;
+    # per-program sequencing cost grows with the unrolled body and eats the
+    # launch-overhead savings it targeted), kept one round behind a flag,
+    # and deleted in r4 when the carry march (its successor design: same
+    # in-VMEM carry, one-block programs) became the default. Full numbers:
+    # BASELINE.md r2/r3 measured tables; history: git log --
+    # src/fashion_nerf/kernels/megakernel_pallas.py. Re-evaluation trigger: a Mosaic
+    # toolchain where predicated-region sequencing cost stops scaling with
+    # unrolled body size.
 
 
 @dataclass(frozen=True)

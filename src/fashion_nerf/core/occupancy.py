@@ -257,9 +257,9 @@ def cull_background(out: dict, hit, white_bkgd: bool) -> dict:
     the exact background the dense path converges to (σ≈0 everywhere along
     the ray): rgb = white or black, acc = 0, weights = 0, depth = 0.
 
-    Applied by the renderer so the XLA culled path and the Pallas megakernel
-    (which skips these rays' field evals outright) agree bit-for-bit on
-    misses."""
+    Applied by the renderer so the XLA culled path and the Pallas blockwise
+    march (which skips these rays' field evals outright) agree bit-for-bit
+    on misses."""
     h = hit[:, None]
     bg = 1.0 if white_bkgd else 0.0
     return {

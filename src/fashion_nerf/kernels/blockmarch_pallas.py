@@ -4,8 +4,8 @@ output windows across the tile's (sequential) block programs.
 
 This is the middle design point between the two-stage pipeline
 (render/blockwise.py: Pallas field + XLA carry glue per block) and the
-rejected megakernel (kernels/megakernel_pallas.py: whole march NB-unrolled in
-one program — its sequencing cost grew with the body, config.py:85-94). Here
+retired megakernel (r2–r4: whole march NB-unrolled in one program — its
+sequencing cost grew with the body; see the KernelConfig note + git log). Here
 the per-program body stays one block (small, pipelinable) while the per-block
 XLA glue — carry update, pts build, rgb/σ HBM round-trips — moves in-kernel
 (VERDICT r2 next #1b; CLAUDE.md backlog #1).

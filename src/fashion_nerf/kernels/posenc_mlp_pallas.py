@@ -209,7 +209,7 @@ _DEAD_SIGMA = -1e10   # post-relu density 0 ⇒ α = 0 ⇒ zero weight downstrea
 
 def mlp_rows(plan, L, ws, fmat, off, x, d, c=None):
     """The fused posenc+MLP on a slab of rows, as pure VALUE math (shared by
-    the forward kernel, the backward recompute, and the megakernel).
+    the forward kernel, the backward recompute, and the carry march).
 
     x (rows, 3) f32 positions; d (rows, dw) per-sample dir-branch rows;
     c (rows, n_cond·W) per-sample cond-branch rows (the hoisted

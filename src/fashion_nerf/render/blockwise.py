@@ -66,55 +66,6 @@ def _pass_dists(t_vals, dnorm, t_end, SB):
     return _pad_axis(t_vals, SB, 1, 0.0), _pad_axis(dists, SB, 1, 0.0)
 
 
-def _marched_pass_mega(packed, dirpart, rays_o, rays_d, t_vals, dnorm,
-                       alive0, cfg: Config, t_end):
-    """Megakernel variant of _marched_pass: the whole block march runs in
-    one Pallas program per ray tile (kernels/megakernel_pallas.py) — same
-    outputs, no per-block XLA glue or launch overhead. Unconditioned
-    models only (the megakernel is off by default; conditioned renders use
-    the two-stage pipeline)."""
-    import math as _math
-
-    from fashion_nerf.kernels.megakernel_pallas import _mega_eval
-
-    R, S = t_vals.shape
-    SB = cfg.kernels.block_samples
-    eps = cfg.kernels.early_term_eps
-    arrs, plan = packed[0], packed[1]
-    t_pad, d_pad = _pass_dists(t_vals, dnorm, t_end, SB)
-    # eps=0 ⇒ never terminate: the sentinel must undercut the lowest
-    # reachable log T (the per-sample clamp is -23, so ≥ -23·S overall)
-    log_eps = _math.log(eps) if eps > 0 else -1e30
-    hit = alive0.astype(jnp.float32).reshape(R, 1)
-
-    rgb, depth, acc, w, _logT = _mega_eval(
-        arrs, dirpart, rays_o, rays_d, hit, t_pad, d_pad, plan,
-        cfg.model.posenc_xyz, SB,
-        cfg.model.sigma_activation == "softplus", log_eps,
-        interpret=cfg.kernels.interpret)
-
-    weights = w[:, :S]
-    if cfg.render.white_bkgd:
-        rgb = rgb + (1.0 - acc[:, None])
-    disp = 1.0 / jnp.maximum(1e-10, depth / jnp.maximum(acc, 1e-10))
-    # executed-block diagnostic, reconstructed exactly: T at block start =
-    # 1 − Σ earlier weights (telescoping of w = T·α), so a (tile, block)
-    # launched iff any of its rays had hit ∧ T > ε there
-    from fashion_nerf.kernels.megakernel_pallas import _MEGA_ROWS
-    NB = t_pad.shape[1] // SB
-    rpt = _MEGA_ROWS // SB
-    cum_w = jnp.cumsum(w, axis=1)
-    t_start = 1.0 - jnp.concatenate(
-        [jnp.zeros((R, 1), jnp.float32), cum_w[:, :-1]], axis=1)
-    eps_f = eps if eps > 0 else 0.0
-    ray_alive = (hit > 0) & (t_start[:, ::SB] > eps_f)     # (R, NB)
-    tile_alive = jnp.max(
-        ray_alive.reshape(R // rpt, rpt, NB).astype(jnp.float32), axis=1)
-    return {"rgb": rgb, "depth": depth, "acc": acc,
-            "weights": weights, "disp": disp,
-            "alive_frac": jnp.mean(tile_alive)}
-
-
 def _block_hit_flags(t_pad, SB, seg, R, NB):
     """(R, NB) f32 macro-box block-interval flags (1 = block may contain
     occupied space) — all-ones when no macro grid is in play.
@@ -165,8 +116,7 @@ def _marched_pass_carry(packed, dirpart, condpart, rays_o, rays_d, t_vals,
     if cfg.render.white_bkgd:
         rgb = rgb + (1.0 - acc[:, None])
     disp = 1.0 / jnp.maximum(1e-10, depth / jnp.maximum(acc, 1e-10))
-    # executed-block diagnostic, reconstructed exactly (megakernel
-    # rationale): T at block start = 1 − Σ earlier weights, block launched
+    # executed-block diagnostic, reconstructed exactly: T at block start = 1 − Σ earlier weights, block launched
     # iff any ray had hit ∧ block_hit ∧ T > ε. The tile width must be the
     # one the kernel actually used — conditioned plans halve it (ADVICE r3:
     # _TILE//SB here made conditioned renders fail the reshape, or group
@@ -314,13 +264,7 @@ def render_rays_blockwise(params, cfg: Config, rays_o, rays_d, viewdirs,
         t_end = rcfg.far          # σ beyond the box ≤ grid threshold
     alive0 = hit if hit is not None else jnp.ones((R,), bool)
 
-    if cfg.kernels.megakernel:
-        assert cond is None, "megakernel path is unconditioned-only"
-
-        def march(packed, dirpart, condpart, t_vals, dnorm, alive0, t_end):
-            return _marched_pass_mega(packed, dirpart, rays_o, rays_d,
-                                      t_vals, dnorm, alive0, cfg, t_end)
-    elif cfg.kernels.fused_carry:
+    if cfg.kernels.fused_carry:
         def march(packed, dirpart, condpart, t_vals, dnorm, alive0, t_end):
             return _marched_pass_carry(packed, dirpart, condpart, rays_o,
                                        rays_d, t_vals, dnorm, alive0, cfg,

@@ -52,7 +52,7 @@ def render_rays(field_coarse: Callable, field_fine: Optional[Callable],
     else:
         # the culled path needs volume_render's finite t_end (the standalone
         # fused-volrend kernel keeps canonical ∞-last-interval semantics; the
-        # Pallas home of culling + early termination is the megakernel)
+        # Pallas home of culling + early termination is the blockwise march)
         vr = volume_render
 
     near, far, hit = rcfg.near, rcfg.far, None

@@ -69,7 +69,7 @@ def _dense_reference(params, cfg, rays_o, rays_d, occ=None, cond=None):
 def _assert_close(bw, ref, min_psnr=45.0):
     p = float(psnr(bw["rgb"], ref["rgb"]))
     assert p > min_psnr, f"blockwise vs dense PSNR {p:.1f} dB"
-    # tolerance covers the megakernel's in-kernel o + d·t (its fma rounds
+    # tolerance covers the carry march's in-kernel o + d·t (its fma rounds
     # ~1 ulp differently than XLA's; the posenc amplifies that by 2^{L-1}
     # → ~1e-4/pass, and the coarse→fine CDF resample amplifies again on a
     # random-init field). The trained-model gate (scripts/quality_check.py)
@@ -87,25 +87,6 @@ class TestEquivalenceInterpret:
         ref = _dense_reference(params, cfg, rays_o, rays_d)
         _assert_close(bw["fine"], ref)
         assert float(bw["fine"]["alive_frac"]) == 1.0
-
-    def test_megakernel_matches_two_stage(self):
-        # the in-program block march (kernels/megakernel_pallas.py) is a
-        # drop-in for the two-stage pipeline, off by default (measured
-        # slower — config.py rationale) but kept equivalence-tested
-        params = None
-        outs = []
-        for mega in (False, True):
-            cfg = _cfg(interpret=True,
-                       overrides=["kernels.early_term_eps=0.0",
-                                  f"kernels.megakernel="
-                                  f"{'true' if mega else 'false'}"])
-            if params is None:
-                params = _rand_params(cfg)
-            rays_o, rays_d = _ray_fan(R=128)
-            bw = render_rays_blockwise(params, cfg, rays_o, rays_d, rays_d)
-            outs.append(np.asarray(bw["fine"]["rgb"]))
-        # in-kernel fma + posenc amplification bounds cross-path agreement
-        np.testing.assert_allclose(outs[0], outs[1], atol=5e-3)
 
     def test_conditioned_matches_dense(self):
         # r3 (VERDICT r2 #4): cond is fused into the Pallas field — the
@@ -398,23 +379,6 @@ class TestCompiledTPU:
             outs.append(bw["fine"])
         p = float(psnr(outs[1]["rgb"], outs[0]["rgb"]))
         assert p > 60.0, f"carry vs two-stage PSNR {p:.1f} dB"
-
-    @pytest.mark.skipif(not _HAS_ASSET, reason="asset missing")
-    def test_megakernel_compiled(self):
-        # trained weights: megakernel vs two-stage, compiled on the chip
-        cfg_t = _cfg(interpret=False,
-                     overrides=["kernels.early_term_eps=1e-4"])
-        cfg_m = _cfg(interpret=False,
-                     overrides=["kernels.early_term_eps=1e-4",
-                                "kernels.megakernel=true"])
-        params, _ = load_flagship()
-        rays_o, rays_d = _ray_fan(R=1024)
-        two = jax.jit(lambda: render_rays_blockwise(
-            params, cfg_t, rays_o, rays_d, rays_d))()
-        mega = jax.jit(lambda: render_rays_blockwise(
-            params, cfg_m, rays_o, rays_d, rays_d))()
-        p = float(psnr(mega["fine"]["rgb"], two["fine"]["rgb"]))
-        assert p > 50.0, f"megakernel vs two-stage PSNR {p:.1f} dB"
 
     @pytest.mark.skipif(not _HAS_ASSET, reason="asset missing")
     def test_trained_termination_compiled(self):
