@@ -110,7 +110,10 @@ def main():
             np.savez_compressed(args.gt_cache, gt=gt, key=cache_key)
     print("GT ready", flush=True)
 
-    def render(n_coarse, n_fine, occ_on, blockwise=False, extra=()):
+    _prop_cache = {}
+
+    def render(n_coarse, n_fine, occ_on, blockwise=False, extra=(),
+               proposal=False):
         cfg = load_config("blender_lego", [
             f"sampling.n_coarse={n_coarse}", f"sampling.n_fine={n_fine}",
             # the sweep's budget must actually apply: zero out the preset's
@@ -124,10 +127,25 @@ def main():
         ff = functools.partial(field_f, params["fine"])
         occ = (build_jit(cfg, field_f, params["fine"])
                if occ_on else None)
+        rparams = params
+        if proposal:
+            # σ-only proposal coarse pass (r4): one distillation per
+            # distill-relevant config, shared across render-budget rows
+            from fashion_nerf.models.proposal import attach_proposal
+            pc = cfg.proposal
+            pkey = (pc.net_depth, pc.net_width, pc.posenc_xyz,
+                    pc.distill_steps, pc.distill_batch, pc.distill_lr)
+            if pkey not in _prop_cache:
+                # use_asset=False: distill-budget sweep rows must actually
+                # distill, not load the committed default asset
+                _prop_cache[pkey] = attach_proposal(
+                    cfg, dict(params), occ=occ,
+                    use_asset=False)["proposal"]
+            rparams = {**params, "proposal": _prop_cache[pkey]}
         if blockwise:
             from fashion_nerf.render.blockwise import render_image_blockwise
             img = jax.jit(lambda pose: render_image_blockwise(
-                params, cfg, H, W, focal, pose, occ=occ)["rgb"])(
+                rparams, cfg, H, W, focal, pose, occ=occ)["rgb"])(
                     jnp.asarray(c2w))
         else:
             img = jax.jit(lambda pose: render_image(
@@ -185,6 +203,138 @@ def main():
               extra=("kernels.fused_carry=true", "occupancy.macro=8",
                      "kernels.early_term_eps=1e-3",
                      "kernels.block_samples=64"))),
+        # r4 frontier: 64-sample fine budget (every +SB of budget costs a
+        # whole block-program per tile — the measured throughput cliff, so
+        # the game is quality at budget 64). mix = uniform PDF floor
+        # (defensive sampling: coverage inside the same budget)
+        ("proposal p64+f64 mix.25 dil2",
+         dict(n_coarse=32, n_fine=64, occ_on=True, blockwise=True,
+              proposal=True,
+              extra=("kernels.fused_carry=true", "occupancy.macro=8",
+                     "kernels.early_term_eps=1e-3", "proposal.eval_n=64",
+                     "proposal.cov_n=0", "proposal.dilate=2",
+                     "proposal.uniform_mix=0.25"))),
+        ("proposal p64+f64 mix.25 dil2 w192L8",
+         dict(n_coarse=32, n_fine=64, occ_on=True, blockwise=True,
+              proposal=True,
+              extra=("kernels.fused_carry=true", "occupancy.macro=8",
+                     "kernels.early_term_eps=1e-3", "proposal.eval_n=64",
+                     "proposal.cov_n=0", "proposal.dilate=2",
+                     "proposal.uniform_mix=0.25", "proposal.net_width=192",
+                     "proposal.posenc_xyz=8",
+                     "proposal.distill_steps=1500"))),
+        ("proposal p64+f64 mix.2 dil2 w192L8",
+         dict(n_coarse=32, n_fine=64, occ_on=True, blockwise=True,
+              proposal=True,
+              extra=("kernels.fused_carry=true", "occupancy.macro=8",
+                     "kernels.early_term_eps=1e-3", "proposal.eval_n=64",
+                     "proposal.cov_n=0", "proposal.dilate=2",
+                     "proposal.uniform_mix=0.2", "proposal.net_width=192",
+                     "proposal.posenc_xyz=8",
+                     "proposal.distill_steps=1500"))),
+        ("proposal p64+f64 mix.2 dil2 ds2000",
+         dict(n_coarse=32, n_fine=64, occ_on=True, blockwise=True,
+              proposal=True,
+              extra=("kernels.fused_carry=true", "occupancy.macro=8",
+                     "kernels.early_term_eps=1e-3", "proposal.eval_n=64",
+                     "proposal.cov_n=0", "proposal.dilate=2",
+                     "proposal.uniform_mix=0.2",
+                     "proposal.distill_steps=2000"))),
+        ("proposal p64+f64 mix.4 dil2",
+         dict(n_coarse=32, n_fine=64, occ_on=True, blockwise=True,
+              proposal=True,
+              extra=("kernels.fused_carry=true", "occupancy.macro=8",
+                     "kernels.early_term_eps=1e-3", "proposal.eval_n=64",
+                     "proposal.cov_n=0", "proposal.dilate=2",
+                     "proposal.uniform_mix=0.4"))),
+        ("proposal p64+f64 mix.15 dil1",
+         dict(n_coarse=32, n_fine=64, occ_on=True, blockwise=True,
+              proposal=True,
+              extra=("kernels.fused_carry=true", "occupancy.macro=8",
+                     "kernels.early_term_eps=1e-3", "proposal.eval_n=64",
+                     "proposal.cov_n=0", "proposal.dilate=1",
+                     "proposal.uniform_mix=0.15"))),
+        ("proposal p64+f48+cov16 dil2",
+         dict(n_coarse=32, n_fine=48, occ_on=True, blockwise=True,
+              proposal=True,
+              extra=("kernels.fused_carry=true", "occupancy.macro=8",
+                     "kernels.early_term_eps=1e-3", "proposal.eval_n=64",
+                     "proposal.cov_n=16", "proposal.dilate=2"))),
+        ("proposal p32+f48+cov16 dil2",
+         dict(n_coarse=32, n_fine=48, occ_on=True, blockwise=True,
+              proposal=True,
+              extra=("kernels.fused_carry=true", "occupancy.macro=8",
+                     "kernels.early_term_eps=1e-3", "proposal.eval_n=32",
+                     "proposal.cov_n=16", "proposal.dilate=2"))),
+        ("proposal p32+f64 mix.25 dil2",
+         dict(n_coarse=32, n_fine=64, occ_on=True, blockwise=True,
+              proposal=True,
+              extra=("kernels.fused_carry=true", "occupancy.macro=8",
+                     "kernels.early_term_eps=1e-3", "proposal.eval_n=32",
+                     "proposal.cov_n=0", "proposal.dilate=2",
+                     "proposal.uniform_mix=0.25"))),
+        ("proposal p64+f64+cov16",
+         dict(n_coarse=32, n_fine=64, occ_on=True, blockwise=True,
+              proposal=True,
+              extra=("kernels.fused_carry=true", "occupancy.macro=8",
+                     "kernels.early_term_eps=1e-3", "proposal.eval_n=64",
+                     "proposal.cov_n=16"))),
+        ("proposal p64+f64+cov16 dil0",
+         dict(n_coarse=32, n_fine=64, occ_on=True, blockwise=True,
+              proposal=True,
+              extra=("kernels.fused_carry=true", "occupancy.macro=8",
+                     "kernels.early_term_eps=1e-3", "proposal.eval_n=64",
+                     "proposal.cov_n=16", "proposal.dilate=0"))),
+        ("proposal p64+f64+cov16 dil2",
+         dict(n_coarse=32, n_fine=64, occ_on=True, blockwise=True,
+              proposal=True,
+              extra=("kernels.fused_carry=true", "occupancy.macro=8",
+                     "kernels.early_term_eps=1e-3", "proposal.eval_n=64",
+                     "proposal.cov_n=16", "proposal.dilate=2"))),
+        ("proposal p64+f64+cov16 ds1500",
+         dict(n_coarse=32, n_fine=64, occ_on=True, blockwise=True,
+              proposal=True,
+              extra=("kernels.fused_carry=true", "occupancy.macro=8",
+                     "kernels.early_term_eps=1e-3", "proposal.eval_n=64",
+                     "proposal.cov_n=16", "proposal.distill_steps=1500"))),
+        ("proposal p64+f64+cov16 w256d3",
+         dict(n_coarse=32, n_fine=64, occ_on=True, blockwise=True,
+              proposal=True,
+              extra=("kernels.fused_carry=true", "occupancy.macro=8",
+                     "kernels.early_term_eps=1e-3", "proposal.eval_n=64",
+                     "proposal.cov_n=16", "proposal.net_width=256",
+                     "proposal.net_depth=3", "proposal.posenc_xyz=8",
+                     "proposal.distill_steps=1500"))),
+        ("proposal p64+f64+cov8",
+         dict(n_coarse=32, n_fine=64, occ_on=True, blockwise=True,
+              proposal=True,
+              extra=("kernels.fused_carry=true", "occupancy.macro=8",
+                     "kernels.early_term_eps=1e-3", "proposal.eval_n=64",
+                     "proposal.cov_n=8"))),
+        ("proposal p64+f64+cov32",
+         dict(n_coarse=32, n_fine=64, occ_on=True, blockwise=True,
+              proposal=True,
+              extra=("kernels.fused_carry=true", "occupancy.macro=8",
+                     "kernels.early_term_eps=1e-3", "proposal.eval_n=64",
+                     "proposal.cov_n=32"))),
+        ("proposal p64+f48+cov16",
+         dict(n_coarse=32, n_fine=48, occ_on=True, blockwise=True,
+              proposal=True,
+              extra=("kernels.fused_carry=true", "occupancy.macro=8",
+                     "kernels.early_term_eps=1e-3", "proposal.eval_n=64",
+                     "proposal.cov_n=16"))),
+        ("proposal p64+f32+cov16",
+         dict(n_coarse=32, n_fine=32, occ_on=True, blockwise=True,
+              proposal=True,
+              extra=("kernels.fused_carry=true", "occupancy.macro=8",
+                     "kernels.early_term_eps=1e-3", "proposal.eval_n=64",
+                     "proposal.cov_n=16"))),
+        ("proposal p64+f64 union",
+         dict(n_coarse=32, n_fine=64, occ_on=True, blockwise=True,
+              proposal=True,
+              extra=("kernels.fused_carry=true", "occupancy.macro=8",
+                     "kernels.early_term_eps=1e-3", "proposal.eval_n=64",
+                     "proposal.union=true"))),
     ]
     wanted = [s.strip() for s in args.only.split(",") if s.strip()]
     gt_j = jnp.asarray(gt)

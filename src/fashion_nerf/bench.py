@@ -90,6 +90,12 @@ def run_bench(cfg: Config, H: int = 800, W: int = 800, warmup: int = 1,
 
     blockwise = (enabled and cfg.kernels.blockwise and cfg.kernels.fused_mlp
                  and cfg.sampling.n_fine > 0)
+    if blockwise and cfg.proposal.enabled and trained:
+        # r4 (VERDICT r3 #1): distill (or load) the σ-only proposal net that
+        # replaces the full-MLP coarse pass — one-time setup, outside the
+        # timed loop, trained weights only (a random-init teacher is junk)
+        from fashion_nerf.models.proposal import attach_proposal
+        params = attach_proposal(cfg, params, occ=occ, cond=cond)
     if blockwise:
         # the production fast path: fused field blocks + per-tile
         # early-termination/culling skips (render/blockwise.py)
@@ -123,10 +129,20 @@ def run_bench(cfg: Config, H: int = 800, W: int = 800, warmup: int = 1,
         # only under occupancy culling (render_rays_blockwise — ADVICE r3)
         n_c = cfg.render.eval_n_coarse or n_c
         n_f = (cfg.render.eval_n_fine or n_f) if n_f > 0 else 0
-    samples = n_c + (n_c + n_f if n_f > 0 else 0)
+    prop_active = blockwise and isinstance(params, dict) \
+        and "proposal" in params
+    if prop_active:
+        # σ-only proposal coarse pass (r4): the budgeted FULL-MLP evals are
+        # the fine pass only (non-union), plus the tiny proposal march
+        n_p = cfg.proposal.eval_n or n_c
+        samples = ((n_p + n_f) if cfg.proposal.union
+                   else n_f + cfg.proposal.cov_n)
+        budget = (f"{samples} full-MLP + {n_p} proposal-MLP evals/ray")
+    else:
+        samples = n_c + (n_c + n_f if n_f > 0 else 0)
+        budget = f"{samples} field evals/ray"
     return {
-        "metric": "rays/sec/chip at 800x800 render (coarse+fine, "
-                  f"{samples} field evals/ray)",
+        "metric": f"rays/sec/chip at 800x800 render (coarse+fine, {budget})",
         "value": round(rays_per_sec, 1),
         "unit": "rays/sec",
         "vs_baseline": round(rays_per_sec / NORTH_STAR_RAYS_PER_SEC, 4),
@@ -135,6 +151,7 @@ def run_bench(cfg: Config, H: int = 800, W: int = 800, warmup: int = 1,
         "pallas": bool(enabled),
         "blockwise": blockwise,
         "trained_ckpt": trained,
+        "proposal": prop_active,
         "occupancy_cull": occ is not None,
         "device": str(jax.devices()[0]),
     }

@@ -135,6 +135,19 @@ def _blockwise_render_fn(cfg, params, H, W, focal, occ, cond=None):
                                    else jnp.asarray(c))
 
 
+def _with_proposal(cfg, params, occ, cond):
+    """Attach the distilled σ-only proposal net for render/eval (r4, VERDICT
+    r3 #1) — a no-op unless cfg.proposal.enabled and the blockwise fast path
+    is eligible (models/proposal.attach_proposal resolves asset vs distill)."""
+    from fashion_nerf.kernels import kernels_enabled
+    if not (kernels_enabled(cfg) and cfg.kernels.blockwise
+            and cfg.kernels.fused_mlp and cfg.sampling.n_fine > 0
+            and cfg.proposal.enabled):
+        return params
+    from fashion_nerf.models.proposal import attach_proposal
+    return attach_proposal(cfg, params, occ=occ, cond=cond)
+
+
 def _maybe_occ(cfg, field, params):
     """Occupancy culling state for a restored model (core/occupancy.py) —
     the render/eval CLIs cull whenever the config enables it (training never
@@ -189,7 +202,11 @@ def _cmd_render(cfg, args):
         frames = jnp.stack(frames)
     else:
         cond = _eval_cond(cfg, state.params, garment)
-        bw = _blockwise_render_fn(cfg, state.params, d["H"], d["W"],
+        # σ-only proposal coarse pass (r4) — static-cond renders only (a
+        # per-frame latent changes the density the proposal was distilled
+        # against, so the dynamic path above keeps the full coarse pass)
+        params = _with_proposal(cfg, state.params, occ, cond)
+        bw = _blockwise_render_fn(cfg, params, d["H"], d["W"],
                                   float(d["focal"]), occ, cond=cond)
         if bw is not None:
             frames = jnp.stack([bw(jnp.asarray(p))["rgb"] for p in poses])
@@ -236,7 +253,8 @@ def _eval_scores(cfg):
            _maybe_occ(cfg, field_c, state.params["coarse"]))
     test_images = d.get("test_images", d["val_image"][None])
     test_poses = d.get("test_poses", np.asarray(d["val_pose"])[None])
-    bw = _blockwise_render_fn(cfg, state.params, d["H"], d["W"],
+    params = _with_proposal(cfg, state.params, occ, cond)
+    bw = _blockwise_render_fn(cfg, params, d["H"], d["W"],
                               float(d["focal"]), occ, cond=cond)
     scores = []
     for img, pose in zip(test_images, test_poses):

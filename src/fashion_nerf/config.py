@@ -84,6 +84,58 @@ class OccupancyConfig:
 
 
 @dataclass(frozen=True)
+class ProposalConfig:
+    """σ-only proposal field for the render-time coarse pass (VERDICT r3 #1,
+    mip-NeRF-360 pattern re-thought for the blockwise march).
+
+    The hierarchical renderer's coarse pass exists at eval time ONLY to shape
+    the fine PDF — its rgb is never composited into the output — yet it pays
+    the full 8×256 MLP price (measured r3: 5.1 of every 14.4 ms live chunk).
+    A tiny σ-only MLP (default 2×128, posenc L=6 — ~7% of the FLOPs) does
+    that job: it is DISTILLED from the trained fine field at render setup
+    (models/proposal.py) and marched through the identical blockwise
+    machinery (same plan/kernel code path, smaller weights). Training is
+    untouched; the proposal is attached to the render-time params dict
+    (key "proposal") by bench/CLI setup — absent the key, the full coarse
+    pass runs as before.
+    """
+    enabled: bool = False
+    net_depth: int = 2            # proposal trunk layers
+    net_width: int = 128          # proposal trunk width (lane-friendly)
+    posenc_xyz: int = 6           # proposal position encoding L
+    # render-time proposal sample budget (the PDF's bin count). More bins =
+    # better fine placement at ~7% FLOPs each; 0 = the coarse eval budget.
+    # (p32 measured −0.2 dB vs p64's −0.084 — the bin count matters.)
+    eval_n: int = 64
+    # union=True: fine pass integrates sort(t_prop ∪ t_fine) (canonical-NeRF
+    # style — every proposal sample ALSO costs a full-MLP fine eval).
+    # union=False (mip-NeRF-360 style, default): the fine pass integrates
+    # only its own budget — coverage comes from uniform_mix/cov_n below.
+    union: bool = False
+    # stratified coverage samples unioned with the PDF samples when
+    # union=False. Raw PDF-only integration measured −2.9 dB (low-σ tails
+    # between surfaces never sampled — the classic importance-sampling
+    # coverage failure). Default 0: uniform_mix supplies coverage INSIDE
+    # the fine budget — every +SB of extra budget costs a whole extra
+    # block-program per tile (the measured r4 throughput cliff:
+    # 80-sample budget pads to 96 and runs 1.25M vs 64-budget's 1.59M).
+    cov_n: int = 0
+    # conservative PDF: max-pool the proposal weights over ±dilate neighbor
+    # bins before inverse-CDF sampling (mip-NeRF-360's proposal dilation) —
+    # compensates the tiny net's σ blur so thin structures keep their mass
+    # (dil0 −0.156 → dil2 −0.084 at the shipping config)
+    dilate: int = 2
+    # defensive importance sampling: blend this fraction of each ray's PDF
+    # mass uniformly over its bins — coverage without budget (see cov_n)
+    uniform_mix: float = 0.2
+    # distillation budget (one-time, render setup — seconds on-chip;
+    # 600→2000 steps measured −0.097 → −0.084 dB vs dense)
+    distill_steps: int = 2000
+    distill_batch: int = 8192
+    distill_lr: float = 2e-3
+
+
+@dataclass(frozen=True)
 class KernelConfig:
     """Pallas kernel selection. Every kernel has an XLA-composed fallback
     (SURVEY.md §2.5); flags flip the hot paths to the Pallas twins."""
@@ -183,6 +235,7 @@ class Config:
     sampling: SamplingConfig = field(default_factory=SamplingConfig)
     render: RenderConfig = field(default_factory=RenderConfig)
     occupancy: OccupancyConfig = field(default_factory=OccupancyConfig)
+    proposal: ProposalConfig = field(default_factory=ProposalConfig)
     kernels: KernelConfig = field(default_factory=KernelConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
     data: DataConfig = field(default_factory=DataConfig)
@@ -234,6 +287,10 @@ _register(Config(
     # macro=8 (r3): 512 sub-AABBs — tighter per-ray intervals AND better
     # quality than macro=4 (−0.076 vs −0.088 dB vs GT) at ~1.12× throughput
     occupancy=OccupancyConfig(enabled=True, sigma_threshold=0.1, macro=8),
+    # r4 (VERDICT r3 #1): σ-only proposal field replaces the full-MLP coarse
+    # pass at render time — distilled at render setup, marched through the
+    # same blockwise machinery (see ProposalConfig)
+    proposal=ProposalConfig(enabled=True),
     # Pallas is the default path (r2): blockwise early-terminated render
     # beats the dense XLA path ~2× on the trained ckpt; training uses the
     # fused backward (within 4% of XLA at batch 4k, and the ONLY path at

@@ -519,10 +519,14 @@ def make_fused_field(cfg: Config):
     return field
 
 
-def make_block_evaluator(cfg: Config):
+def make_block_evaluator(cfg: Config, mcfg: ModelConfig = None):
     """Lower-level entry for the blockwise early-terminated render pipeline
     (render/blockwise.py): evaluates the fused field on ONE sample-block of
     every ray, with per-tile alive predication.
+
+    mcfg: optional ModelConfig override — the blockwise renderer marches the
+    σ-only proposal net (models/proposal.py, r4) through this same machinery
+    with its own smaller architecture; default is cfg.model.
 
     Returns (pack, hoist_dirs, hoist_cond, eval_block, rays_per_tile):
       pack(params) → packed — weight arrays + static plan, once per image.
@@ -539,7 +543,7 @@ def make_block_evaluator(cfg: Config):
         sentinels instead.
     rays_per_tile(SB) = _TILE // SB; callers pad R to a multiple of it.
     """
-    mcfg = cfg.model
+    mcfg = mcfg if mcfg is not None else cfg.model
     interpret = cfg.kernels.interpret
 
     def pack(params):
