@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.join(
 
 def main():
     import argparse
+    import math
 
     import jax
     import jax.numpy as jnp
@@ -38,7 +39,17 @@ def main():
     ap.add_argument("--only", default="",
                     help="comma-separated substring filter on row names")
     ap.add_argument("--gt-cache", default="/tmp/qc_gt.npz",
-                    help="cache file for the analytic GT render")
+                    help="cache file prefix for the analytic GT render")
+    ap.add_argument("--gate", action="store_true",
+                    help="multi-pose gate (VERDICT r3 #7): dense 64+128 vs "
+                    "the production preset over 5 poses; worst-pose delta "
+                    "must clear -0.1 dB")
+    ap.add_argument("--extra", default="",
+                    help="comma-separated dotted overrides applied to the "
+                    "production config in --gate mode")
+    ap.add_argument("--pose", type=int, default=0,
+                    help="POSES index the spec sweep renders (default: the "
+                    "historical bench pose)")
     args = ap.parse_args()
 
     H = W = 800
@@ -50,8 +61,37 @@ def main():
     # array to f64 and NumPy's f64 sin/exp drop to scalar libm — measured
     # 100x slower on the textured scene (r3)
     focal = float(0.5 * W / np.tan(0.5 * 0.6911))
-    c2w = np.eye(4, dtype=np.float32)[:3]
-    c2w[2, 3] = 4.0
+
+    def look_at(eye):
+        """OpenGL/NeRF c2w (camera -z = view dir, y up) looking at origin."""
+        eye = np.asarray(eye, np.float32)
+        fwd = -eye / np.linalg.norm(eye)
+        right = np.cross(fwd, np.array([0.0, 1.0, 0.0], np.float32))
+        right = right / np.linalg.norm(right)
+        up = np.cross(right, fwd)
+        m = np.eye(4, dtype=np.float32)[:3]
+        m[:, 0], m[:, 1], m[:, 2], m[:, 3] = right, up, -fwd, eye
+        return m
+
+    def ring(az_deg, el_deg, r):
+        az, el = math.radians(az_deg), math.radians(el_deg)
+        return look_at([r * math.cos(el) * math.sin(az),
+                        r * math.sin(el),
+                        r * math.cos(el) * math.cos(az)])
+
+    # pose 0 = the historical bench/train-like framing; the rest probe
+    # off-axis / near / far / low-elevation views where per-ray occupied
+    # intervals lengthen (VERDICT r3 weak #5: thresholds must not overfit
+    # the single bench pose)
+    POSES = [
+        ("bench z=4", np.array([[1, 0, 0, 0], [0, 1, 0, 0],
+                                [0, 0, 1, 4.0]], np.float32)),
+        ("az30 el10 r4", ring(30, 10, 4.0)),
+        ("az-45 el20 r3.2 (near)", ring(-45, 20, 3.2)),
+        ("az120 el35 r5 (far)", ring(120, 35, 5.0)),
+        ("az200 el-15 r4.5", ring(200, -15, 4.5)),
+    ]
+    c2w = None   # set to POSES[args.pose] once GT infra is defined below
     # analytic GT in row strips — a whole-image 800×800×512-sample pts array
     # is ~4 GB and thrashes the host
     from fashion_nerf.data.synthetic import field_np
@@ -59,13 +99,13 @@ def main():
     scene_sharp = float(meta.get("scene_sharp", 25.0))
     scene_texture = float(meta.get("scene_texture", 0.0))
 
-    def gt_render(n_samples=512, near=2.0, far=6.0, strip=50):
+    def gt_render(pose, n_samples=512, near=2.0, far=6.0, strip=50):
         """Analytic GT under one jit on the device (field_jnp docstring:
         the single-core host makes the NumPy sweep ~30 min; this is
         seconds). Strips via lax.map bound memory."""
         from fashion_nerf.data.synthetic import field_jnp
 
-        c2w_j = jnp.asarray(c2w)
+        c2w_j = jnp.asarray(pose)
 
         def strip_fn(y0):
             i = jnp.arange(W, dtype=jnp.float32)[None, :]
@@ -97,23 +137,35 @@ def main():
         float(img[0, 0, 0, 0])   # sync through the tunnel
         return np.asarray(img).reshape(H, W, 3)
 
-    cache_key = f"{scene_scale}_{scene_sharp}_{scene_texture}"
-    gt = None
-    if args.gt_cache and os.path.exists(args.gt_cache):
-        with np.load(args.gt_cache, allow_pickle=False) as z:
-            if "key" in z.files and str(z["key"]) == cache_key:
-                gt = z["gt"]
-                print(f"(GT from cache {args.gt_cache})", flush=True)
-    if gt is None:
-        gt = gt_render()
-        if args.gt_cache:
-            np.savez_compressed(args.gt_cache, gt=gt, key=cache_key)
-    print("GT ready", flush=True)
+    def gt_for(pose_idx):
+        """Analytic GT for POSES[pose_idx], cached per (scene, pose)."""
+        pose = POSES[pose_idx][1]
+        # pose 0 keeps the historical cache file/key; others get suffixed
+        # files keyed on the pose bytes
+        path = (args.gt_cache if pose_idx == 0 and args.gt_cache
+                else (args.gt_cache + f".pose{pose_idx}.npz"
+                      if args.gt_cache else ""))
+        cache_key = f"{scene_scale}_{scene_sharp}_{scene_texture}"
+        if pose_idx > 0:
+            cache_key += "_" + pose.tobytes().hex()[:32]
+        if path and os.path.exists(path):
+            with np.load(path, allow_pickle=False) as z:
+                if "key" in z.files and str(z["key"]) == cache_key:
+                    print(f"(GT pose{pose_idx} from cache)", flush=True)
+                    return z["gt"]
+        img = gt_render(pose)
+        if path:
+            np.savez_compressed(path, gt=img, key=cache_key)
+        return img
+
+    c2w = POSES[args.pose][1]
+    gt = gt_for(args.pose)
+    print(f"GT ready (pose {args.pose}: {POSES[args.pose][0]})", flush=True)
 
     _prop_cache = {}
 
     def render(n_coarse, n_fine, occ_on, blockwise=False, extra=(),
-               proposal=False):
+               proposal=False, pose=None):
         cfg = load_config("blender_lego", [
             f"sampling.n_coarse={n_coarse}", f"sampling.n_fine={n_fine}",
             # the sweep's budget must actually apply: zero out the preset's
@@ -142,17 +194,65 @@ def main():
                     cfg, dict(params), occ=occ,
                     use_asset=False)["proposal"]
             rparams = {**params, "proposal": _prop_cache[pkey]}
+        pose_j = jnp.asarray(c2w if pose is None else pose)
         if blockwise:
             from fashion_nerf.render.blockwise import render_image_blockwise
-            img = jax.jit(lambda pose: render_image_blockwise(
-                rparams, cfg, H, W, focal, pose, occ=occ)["rgb"])(
-                    jnp.asarray(c2w))
+            img = jax.jit(lambda p: render_image_blockwise(
+                rparams, cfg, H, W, focal, p, occ=occ)["rgb"])(pose_j)
         else:
-            img = jax.jit(lambda pose: render_image(
-                fc, ff, H, W, focal, pose, cfg, occ=occ)["rgb"])(
-                    jnp.asarray(c2w))
+            img = jax.jit(lambda p: render_image(
+                fc, ff, H, W, focal, p, cfg, occ=occ)["rgb"])(pose_j)
         float(img[0, 0, 0])   # sync through the tunnel
         return np.asarray(img)
+
+    if args.gate:
+        # multi-pose production gate (VERDICT r3 #7): the SHIPPED preset
+        # (committed proposal asset, occupancy culling, eval budget) vs the
+        # dense 64+128 XLA reference, per pose; throughput claims gate on
+        # the WORST pose so bench-pose-only tuning gets caught here.
+        import sys as _sys
+
+        from fashion_nerf.core.occupancy import build_jit as _build_jit
+        from fashion_nerf.models.proposal import attach_proposal
+        from fashion_nerf.render.blockwise import render_image_blockwise
+
+        extra = [s.strip() for s in args.extra.split(",") if s.strip()]
+        prod_cfg = load_config("blender_lego", extra)
+        _, prod_ff = make_fields(prod_cfg)
+        occ = _build_jit(prod_cfg, prod_ff, params["fine"])
+        rparams = attach_proposal(prod_cfg, dict(params), occ=occ)
+        prod = jax.jit(lambda p: render_image_blockwise(
+            rparams, prod_cfg, H, W, focal, p, occ=occ)["rgb"])
+
+        dense_cfg = load_config("blender_lego", [
+            "occupancy.enabled=false", "proposal.enabled=false",
+            "render.eval_n_coarse=0", "render.eval_n_fine=0"])
+        dfc, dff = make_fields(dense_cfg)
+        fcp = functools.partial(dfc, params["coarse"])
+        ffp = functools.partial(dff, params["fine"])
+        dense_fn = jax.jit(lambda p: render_image(
+            fcp, ffp, H, W, focal, p, dense_cfg)["rgb"])
+
+        worst = float("inf")
+        print(f"\n{'pose':26s} {'dense vs GT':>12s} {'prod vs GT':>12s} "
+              f"{'delta':>8s}", flush=True)
+        for i, (pname, pose) in enumerate(POSES):
+            g = jnp.asarray(gt_for(i))
+            pj = jnp.asarray(pose)
+            di = dense_fn(pj)
+            float(di[0, 0, 0])
+            pi = prod(pj)
+            float(pi[0, 0, 0])
+            d_gt = float(psnr(jnp.asarray(di), g))
+            p_gt = float(psnr(jnp.asarray(pi), g))
+            delta = p_gt - d_gt
+            worst = min(worst, delta)
+            print(f"{pname:26s} {d_gt:12.2f} {p_gt:12.2f} {delta:+8.3f}",
+                  flush=True)
+        ok = worst > -0.1
+        print(f"\nworst-pose delta {worst:+.3f} dB — "
+              f"{'PASS' if ok else 'FAIL'} (gate -0.1)", flush=True)
+        _sys.exit(0 if ok else 1)
 
     specs = [
         ("dense 64+128", dict(n_coarse=64, n_fine=128, occ_on=False)),
@@ -193,6 +293,26 @@ def main():
          dict(n_coarse=32, n_fine=64, occ_on=True, blockwise=True,
               extra=("kernels.fused_carry=true", "occupancy.macro=8",
                      "kernels.early_term_eps=1e-3"))),
+        # near-pose (POSES[2]) box-coverage sensitivity (r4 gate FAIL
+        # diagnosis: FULL-budget blockwise loses −0.168 dB there — the σ=0.1
+        # box drops real density tails that longer out-of-box paths see)
+        ("carry 64+128 thr.05",
+         dict(n_coarse=64, n_fine=128, occ_on=True, blockwise=True,
+              extra=("kernels.fused_carry=true",
+                     "occupancy.sigma_threshold=0.05"))),
+        ("carry 64+128 thr.02",
+         dict(n_coarse=64, n_fine=128, occ_on=True, blockwise=True,
+              extra=("kernels.fused_carry=true",
+                     "occupancy.sigma_threshold=0.02"))),
+        ("carry 64+128 mw.25",
+         dict(n_coarse=64, n_fine=128, occ_on=True, blockwise=True,
+              extra=("kernels.fused_carry=true",
+                     "occupancy.margin_world=0.25"))),
+        ("carry 64+128 thr.02 mw.25",
+         dict(n_coarse=64, n_fine=128, occ_on=True, blockwise=True,
+              extra=("kernels.fused_carry=true",
+                     "occupancy.sigma_threshold=0.02",
+                     "occupancy.margin_world=0.25"))),
         ("blockwise carry 32+64 SB=64",
          dict(n_coarse=32, n_fine=64, occ_on=True, blockwise=True,
               extra=("kernels.fused_carry=true", "occupancy.macro=8",

@@ -53,7 +53,7 @@ def load_viton_pair(root: str, pair_id: str) -> dict:
 
 
 def load_viton_scene(root: str, pair_id: str = "", n_views: int = 12,
-                     H: int = 64, W: int = 64) -> dict:
+                     H: int = 64, W: int = 64, cfg=None) -> dict:
     """Garment-conditioned NeRF dataset (BASELINE.json:10).
 
     With a VITON-HD root: loads the pair and builds the conditioning stack.
@@ -70,7 +70,7 @@ def load_viton_scene(root: str, pair_id: str = "", n_views: int = 12,
         pair = load_viton_pair(root, pair_id or ids[0])
     else:
         pair = synth_viton_pair(H, W)
-    cond_stack = build_conditioning(pair, H, W)       # (H, W, C) numpy/jnp
+    cond_stack = build_conditioning(pair, H, W, cfg=cfg)  # (H, W, C)
     scene["garment"] = np.asarray(cond_stack, np.float32)
     scene["pair"] = pair
     return scene

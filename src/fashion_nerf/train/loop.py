@@ -281,7 +281,7 @@ def resolve_garment(cfg: Config, dataset_dict: dict, H: int, W: int):
     from fashion_nerf.data.viton import synth_viton_pair
     from fashion_nerf.tryon.pipeline import build_conditioning
     pair = synth_viton_pair(H, W)
-    return build_conditioning(pair, H, W)
+    return build_conditioning(pair, H, W, cfg=cfg)
 
 
 def _eval_cond(cfg: Config, params, garment, frame_id: int = 0):
@@ -462,5 +462,5 @@ def _load_dataset(cfg: Config) -> dict:
                          spherify=cfg.data.llff_spherify)
     if cfg.data.dataset == "viton":
         from fashion_nerf.data.viton import load_viton_scene
-        return load_viton_scene(cfg.data.root)
+        return load_viton_scene(cfg.data.root, cfg=cfg)
     raise ValueError(f"unknown dataset {cfg.data.dataset!r}")

@@ -35,6 +35,36 @@ K_ROWS = 6                      # matches keypoint_grid_correspondences
 N_PTS = 3 * K_ROWS
 RESIDUAL_SCALE = 0.25           # max |offset| in normalized [-1, 1] coords
 
+# committed trained weights (scripts/make_matcher_asset.py); production
+# preprocessing picks these up by default (cfg.tryon.use_matcher)
+import os as _os
+
+from fashion_nerf.assets import ASSETS_DIR
+
+MATCHER_CKPT = _os.path.join(ASSETS_DIR, "matcher_synthetic.npz")
+
+
+def save_matcher(params, path: str = MATCHER_CKPT, meta: dict = None):
+    from fashion_nerf.assets import save_params
+    save_params(path, params, meta=meta)
+
+
+@functools.lru_cache(maxsize=4)
+def _load_matcher_cached(path: str, mtime: float):
+    from fashion_nerf.assets import load_params
+    params, _meta = load_params(path)
+    return jax.tree_util.tree_map(jnp.asarray, params)
+
+
+def load_matcher(path: str = ""):
+    """The committed matcher weights as a device pytree, or None when the
+    asset is absent (procedural keypoint-grid fallback — the exact
+    zero-residual limit of the matcher). Cached per (path, mtime)."""
+    path = path or MATCHER_CKPT
+    if not _os.path.exists(path):
+        return None
+    return _load_matcher_cached(path, _os.path.getmtime(path))
+
 
 class GarmentMatcher(nn.Module):
     """Two-tower conv matcher → (N_PTS, 2) residual target offsets."""
