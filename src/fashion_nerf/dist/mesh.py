@@ -21,7 +21,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def init_distributed(multihost: bool = False):
-    """Multi-host bring-up over DCN (SURVEY.md §3.5). Single-host is a no-op."""
+    """Multi-host bring-up over DCN (SURVEY.md §3.5). Single-host is a no-op.
+
+    The multi-process path is EXECUTED (not just wired) by
+    tests/distributed/test_multihost.py: two coordinated CPU processes, one
+    dp=8 mesh spanning both, XLA collectives across the process boundary,
+    loss parity vs the same mesh in one process."""
     if multihost:
         jax.distributed.initialize()
 
