@@ -292,22 +292,31 @@ _register(Config(
     name="blender_lego",
     model=ModelConfig(compute_dtype="bfloat16"),
     sampling=SamplingConfig(n_coarse=64, n_fine=128, raw_noise_std=0.0),
-    # eval budget 32+64 (r3): with per-ray culled ranges the reduced budget
-    # matches the dense 64+128 render to −0.088 dB vs GT (quality_check on
-    # the textured trained ckpt) at 1.9× the throughput — the headline
-    # production render config. Training keeps the full 64+128.
+    # eval budget p64+f96 (r4): the 5-pose gate (quality_check --gate)
+    # showed the r3 32+64 budget was bench-pose-overfit — the near pose
+    # lost 0.178 dB (box clipping) and margin fixes dilute a 64-sample
+    # fine budget below the gate (mw.25+f64: pose1 −0.137). f96 restores
+    # worst-pose −0.050 at margin_world=0.125. Training keeps the full
+    # 64+128; eval_n_coarse feeds the non-proposal fallback path only.
     # chunk 8192 (r3 sweep: 1.36M vs 1.32M at 32768): finer whole-chunk
     # lax.cond skip granularity beats the extra dispatches
     render=RenderConfig(near=2.0, far=6.0, white_bkgd=True, chunk=8192,
-                        eval_n_coarse=32, eval_n_fine=64),
+                        eval_n_coarse=32, eval_n_fine=96),
     # culling threshold 0.1: tightest box that still contains everything the
     # dense path integrates (sweep on the sparsity-3e-4 ckpt: thr 0.1 box =
     # thr 0.5 box + the real density tail, 60.7 dB vs dense and the fastest
     # live chunk; thr 0.02 picks up junk floaters and the box hits the world
     # edge). Validated by scripts/quality_check.py + test_blockwise gates.
     # macro=8 (r3): 512 sub-AABBs — tighter per-ray intervals AND better
-    # quality than macro=4 (−0.076 vs −0.088 dB vs GT) at ~1.12× throughput
-    occupancy=OccupancyConfig(enabled=True, sigma_threshold=0.1, macro=8),
+    # quality than macro=4 (−0.076 vs −0.088 dB vs GT) at ~1.12× throughput.
+    # margin_world=0.125 (r4): the 5-pose gate's near pose needs a fatter
+    # physical halo than the old 1-cell margin (σ=0.1 clips a real density
+    # tail: −0.168 dB there even at FULL budget); 0.25 over-dilutes the
+    # budget instead (pose1 −0.137). res=128/macro=16 passes the gate with
+    # the best quality (worst −0.058) but costs 17% throughput in (R, 4096)
+    # multi-AABB glue — stays a documented option, not the default.
+    occupancy=OccupancyConfig(enabled=True, sigma_threshold=0.1, macro=8,
+                              margin_world=0.125),
     # r4 (VERDICT r3 #1): σ-only proposal field replaces the full-MLP coarse
     # pass at render time — distilled at render setup, marched through the
     # same blockwise machinery (see ProposalConfig)

@@ -137,7 +137,13 @@ def _marched_pass_carry(packed, dirpart, condpart, rays_o, rays_d, t_vals,
         ray_alive.reshape(R // rpt, rpt, NB).astype(jnp.float32), axis=1)
     return {"rgb": rgb, "depth": depth, "acc": acc,
             "weights": weights, "disp": disp,
-            "alive_frac": jnp.mean(tile_alive)}
+            "alive_frac": jnp.mean(tile_alive),
+            # per-RAY liveness at the same (block) granularity: what a
+            # perfect ray-compaction scheme could execute. alive_frac /
+            # ideal_frac is the tile-predication overhead a gather/scatter
+            # compaction pass would have to beat (VERDICT r3 #2 —
+            # scripts/evals_audit.py reports both per frame)
+            "ideal_frac": jnp.mean(ray_alive.astype(jnp.float32))}
 
 
 def _marched_pass(eval_block, packed, dirpart, condpart, rays_o, rays_d,
