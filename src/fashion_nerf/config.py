@@ -88,6 +88,15 @@ class OccupancyConfig:
     # tightens to occupied cells inside it, so loose bounds are safe.
     world_min: float = -2.0
     world_max: float = 2.0
+    # occupancy-warped sampling (r4): place the stratified budget only in
+    # bins of the union interval that overlap an occupied macro box, with
+    # per-sample integration widths capped at occupied-run ends
+    # (core/sampling.occupancy_bins/warp_stratified/delta_caps). Kills the
+    # budget-dilution tax of conservative margins (the 5-pose gate showed
+    # gap samples are pure loss: blocks over gaps are culled anyway).
+    # Requires macro > 1; no-op without seg intervals.
+    sample_warp: bool = False
+    warp_bins: int = 64           # indicator bins over the union interval
 
 
 @dataclass(frozen=True)
@@ -135,6 +144,18 @@ class ProposalConfig:
     # defensive importance sampling: blend this fraction of each ray's PDF
     # mass uniformly over its bins — coverage without budget (see cov_n)
     uniform_mix: float = 0.2
+    # proposal-acc ray culling (r4): rays whose proposal march accumulates
+    # less than this opacity along their whole culled range skip the
+    # full-MLP fine march (composited straight to background, exactly what
+    # a ~zero-acc ray converges to). The expensive rays in a frame are NOT
+    # the surface hits — they terminate early — but silhouette-grazing
+    # rays that clip the occupancy halo, never saturate, and march their
+    # entire (long, tangent-chord) range for ~zero contribution: measured
+    # r4, silhouette chunks cost ~13 ms vs the object-interior chunk's
+    # 4 ms. The proposal pass already paid to discover chord emptiness;
+    # this reuses it. 0 disables. Quality-gated like every cull
+    # (quality_check --gate; error per ray is bounded by the threshold).
+    cull_acc: float = 0.0
     # distillation budget (one-time, render setup — seconds on-chip;
     # 600→2000 steps measured −0.097 → −0.084 dB vs dense)
     distill_steps: int = 2000
@@ -320,7 +341,12 @@ _register(Config(
     # r4 (VERDICT r3 #1): σ-only proposal field replaces the full-MLP coarse
     # pass at render time — distilled at render setup, marched through the
     # same blockwise machinery (see ProposalConfig)
-    proposal=ProposalConfig(enabled=True),
+    # cull_acc=5e-4 (r4): rays whose proposal chord-opacity is ~zero skip
+    # the fine march — 999k → 1.50M rays/s at worst-pose −0.093 (PASS);
+    # 1e-2 fails the near pose at −0.104 and buys nothing (culling
+    # saturates by 5e-4). macro=4/2 retested WITH culling: slower AND
+    # macro=4 fails the gate — K=512's tighter unions pay for their glue.
+    proposal=ProposalConfig(enabled=True, cull_acc=5e-4),
     # Pallas is the default path (r2): blockwise early-terminated render
     # beats the dense XLA path ~2× on the trained ckpt; training uses the
     # fused backward (within 4% of XLA at batch 4k, and the ONLY path at

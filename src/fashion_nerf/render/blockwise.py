@@ -53,16 +53,24 @@ def _pad_axis(x, mult: int, axis: int, value=0.0):
     return jnp.pad(x, widths, constant_values=value)
 
 
-def _pass_dists(t_vals, dnorm, t_end, SB):
+def _pass_dists(t_vals, dnorm, t_end, SB, cap=None):
     """Per-sample integration widths (∞ or t_end on the last) padded to a
-    block multiple with zero-width sentinels, plus padded t."""
+    block multiple with zero-width sentinels, plus padded t.
+
+    cap: optional (R, S) occupied-run end per sample (core/sampling
+    .delta_caps): widths are clamped so no interval spans a culled gap
+    between occupied segments — without it, a sample at a run end
+    overintegrates its σ across the (never-evaluated) gap to the next run."""
     R, S = t_vals.shape
     if t_end is None:
-        last = jnp.full((R, 1), _INF_DIST, t_vals.dtype)
+        upper_last = t_vals[:, -1:] + _INF_DIST
     else:
-        last = jnp.maximum(t_end - t_vals[:, -1:], 0.0)
-    dists = jnp.concatenate([t_vals[:, 1:] - t_vals[:, :-1], last], axis=1)
-    dists = dists * dnorm
+        upper_last = jnp.maximum(jnp.broadcast_to(
+            jnp.asarray(t_end, t_vals.dtype), (R, 1)), t_vals[:, -1:])
+    upper = jnp.concatenate([t_vals[:, 1:], upper_last], axis=1)
+    if cap is not None:
+        upper = jnp.minimum(upper, jnp.maximum(cap, t_vals))
+    dists = (upper - t_vals) * dnorm
     return _pad_axis(t_vals, SB, 1, 0.0), _pad_axis(dists, SB, 1, 0.0)
 
 
@@ -88,7 +96,7 @@ def _block_hit_flags(t_pad, SB, seg, R, NB):
 
 def _marched_pass_carry(packed, dirpart, condpart, rays_o, rays_d, t_vals,
                         dnorm, alive0, cfg: Config, t_end, seg=None,
-                        L=None):
+                        L=None, cap=None):
     """Carry-in-VMEM variant of _marched_pass: one Pallas program per
     (ray tile, sample block), the transmittance carry and composited
     accumulators persisted in VMEM output windows across the tile's blocks
@@ -104,7 +112,7 @@ def _marched_pass_carry(packed, dirpart, condpart, rays_o, rays_d, t_vals,
     SB = cfg.kernels.block_samples
     eps = cfg.kernels.early_term_eps
     arrs, plan = packed[0], packed[1]
-    t_pad, d_pad = _pass_dists(t_vals, dnorm, t_end, SB)
+    t_pad, d_pad = _pass_dists(t_vals, dnorm, t_end, SB, cap=cap)
     NB = t_pad.shape[1] // SB
     log_eps = _math.log(eps) if eps > 0 else -1e30
     hit = alive0.astype(jnp.float32).reshape(R, 1)
@@ -148,7 +156,7 @@ def _marched_pass_carry(packed, dirpart, condpart, rays_o, rays_d, t_vals,
 
 def _marched_pass(eval_block, packed, dirpart, condpart, rays_o, rays_d,
                   t_vals, dnorm, alive0, cfg: Config, rpt: int, t_end,
-                  seg=None):
+                  seg=None, cap=None):
     """March one field pass over sample blocks with a transmittance carry.
 
     t_vals: (R, S) ascending. alive0: (R,) bool — rays worth marching (AABB
@@ -168,7 +176,7 @@ def _marched_pass(eval_block, packed, dirpart, condpart, rays_o, rays_d,
 
     # per-sample intervals, ∞ (or t_end) on the last — precomputed so block
     # padding can carry zero-width sentinels (α = 0 regardless of σ)
-    t_pad, d_pad = _pass_dists(t_vals, dnorm, t_end, SB)
+    t_pad, d_pad = _pass_dists(t_vals, dnorm, t_end, SB, cap=cap)
     NB = t_pad.shape[1] // SB
 
     block_hit = (None if seg is None
@@ -288,18 +296,44 @@ def render_rays_blockwise(params, cfg: Config, rays_o, rays_d, viewdirs,
         t_end = rcfg.far          # σ beyond the box ≤ grid threshold
     alive0 = hit if hit is not None else jnp.ones((R,), bool)
 
+    # occupancy-warped sampling (r4): with macro segments available, place
+    # the stratified budget only in union-interval bins that overlap an
+    # occupied box, and cap per-sample integration widths at occupied-run
+    # ends so no interval spans a culled gap (core/sampling docstrings —
+    # gap samples were pure budget loss: their blocks are culled anyway,
+    # and margin halos diluted the fixed budget below the 5-pose gate).
+    warp = (cfg.occupancy.sample_warp and seg is not None
+            and not scfg.lindisp)
+    bins_occ = gap_idx = None
+    if warp:
+        from fashion_nerf.core.sampling import (delta_caps, occupancy_bins,
+                                                warp_stratified)
+        bins_occ, gap_idx = occupancy_bins(seg, near, far,
+                                           cfg.occupancy.warp_bins)
+
+    def _strat(n):
+        if warp:
+            return warp_stratified(bins_occ, near, far, n)
+        return stratified_sample(key, near, far, R, n, perturb=False,
+                                 lindisp=scfg.lindisp)
+
+    def _caps(t_vals):
+        return delta_caps(gap_idx, near, far, t_vals) if warp else None
+
     if cfg.kernels.fused_carry:
         def march(packed, dirpart, condpart, t_vals, dnorm, alive0, t_end,
                   L=None, rpt_=None, eval_block_=None):
             return _marched_pass_carry(packed, dirpart, condpart, rays_o,
                                        rays_d, t_vals, dnorm, alive0, cfg,
-                                       t_end, seg=seg, L=L)
+                                       t_end, seg=seg, L=L,
+                                       cap=_caps(t_vals))
     else:
         def march(packed, dirpart, condpart, t_vals, dnorm, alive0, t_end,
                   L=None, rpt_=None, eval_block_=None):
             return _marched_pass(eval_block_ or eval_block, packed, dirpart,
                                  condpart, rays_o, rays_d, t_vals, dnorm,
-                                 alive0, cfg, rpt_ or rpt, t_end, seg=seg)
+                                 alive0, cfg, rpt_ or rpt, t_end, seg=seg,
+                                 cap=_caps(t_vals))
 
     packed_f = pack(params["fine"]) if scfg.n_fine > 0 else None
     dnorm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
@@ -309,8 +343,7 @@ def render_rays_blockwise(params, cfg: Config, rays_o, rays_d, viewdirs,
         packed_c = p_pack(params["proposal"])
         dirpart_c = p_hoist_dirs(packed_c, viewdirs)   # zeros: σ-only net
         n_prop = cfg.proposal.eval_n or scfg.n_coarse
-        t_c = stratified_sample(key, near, far, R, n_prop,
-                                perturb=False, lindisp=scfg.lindisp)
+        t_c = _strat(n_prop)
         out_c = march(packed_c, dirpart_c, None, t_c, dnorm, alive0, t_end,
                       L=prop_m.posenc_xyz, rpt_=p_rpt,
                       eval_block_=p_eval_block)
@@ -318,8 +351,7 @@ def render_rays_blockwise(params, cfg: Config, rays_o, rays_d, viewdirs,
         packed_c = pack(params["coarse"])
         dirpart_c = hoist_dirs(packed_c, viewdirs)
         condpart_c = hoist_cond(packed_c, cond)
-        t_c = stratified_sample(key, near, far, R, scfg.n_coarse,
-                                perturb=False, lindisp=scfg.lindisp)
+        t_c = _strat(scfg.n_coarse)
         out_c = march(packed_c, dirpart_c, condpart_c, t_c, dnorm, alive0,
                       t_end)
 
@@ -352,8 +384,7 @@ def render_rays_blockwise(params, cfg: Config, rays_o, rays_d, viewdirs,
         # below its quantiles (measured −2.9 dB) — a thin stratified
         # coverage net (cov_n ≈ 16) restores the dense render.
         if cfg.proposal.cov_n > 0:
-            t_cov = stratified_sample(key, near, far, R, cfg.proposal.cov_n,
-                                      perturb=False, lindisp=scfg.lindisp)
+            t_cov = _strat(cfg.proposal.cov_n)
             t_all = jnp.sort(jnp.concatenate([t_cov, t_f], axis=-1), axis=-1)
         else:
             t_all = jnp.sort(t_f, axis=-1)
@@ -362,7 +393,15 @@ def render_rays_blockwise(params, cfg: Config, rays_o, rays_d, viewdirs,
 
     dirpart_f = hoist_dirs(packed_f, viewdirs)
     condpart_f = hoist_cond(packed_f, cond)
-    out_f = march(packed_f, dirpart_f, condpart_f, t_all, dnorm, alive0,
+    alive_f = alive0
+    if use_prop and cfg.proposal.cull_acc > 0.0:
+        # proposal-acc ray culling (ProposalConfig.cull_acc): the σ-only
+        # march just measured each ray's chord opacity — rays it found
+        # empty (silhouette grazers in the occupancy halo, the measured
+        # cost peak of the frame) skip the full-MLP march and composite to
+        # the background they converge to anyway
+        alive_f = alive_f & (out_c["acc"] > cfg.proposal.cull_acc)
+    out_f = march(packed_f, dirpart_f, condpart_f, t_all, dnorm, alive_f,
                   t_end)
     return {"coarse": out_c, "fine": out_f}
 

@@ -404,3 +404,84 @@ class TestCompiledTPU:
             params, cfg, rays_o, rays_d, rays_d, occ=occ))()
         assert float(bw["fine"]["alive_frac"]) < 0.9
         assert np.isfinite(np.asarray(bw["fine"]["rgb"])).all()
+
+
+class TestSampleWarp:
+    """Occupancy-warped sampling (r4): stratified budget placed only in
+    occupied bins of the union interval, integration widths capped at
+    occupied-run ends (core/sampling.occupancy_bins et al.)."""
+
+    def _setup(self, extra=()):
+        cfg = _cfg(interpret=True, overrides=[
+            "kernels.early_term_eps=0.0", "occupancy.resolution=16",
+            "occupancy.macro=4", "occupancy.sample_warp=true",
+            "occupancy.warp_bins=32"] + list(extra))
+        params = _rand_params(cfg)
+        fused = make_fused_field(cfg)
+        occ = build_from_config(cfg, functools.partial(fused,
+                                                       params["fine"]))
+        return cfg, params, occ
+
+    def test_warp_close_to_unwarped_blockwise(self):
+        # warp changes sample PLACEMENT, not the integrand: on the same
+        # honest macro-culled grid the warped and unwarped marches must
+        # agree closely (a dense no-cull reference is NOT the right control
+        # here — a random-init field carries sub-threshold fog over 98% of
+        # the volume, which culling itself removes: measured acc 0.15 dense
+        # vs 0.01 culled; the trained-ckpt 5-pose gate on-chip holds the
+        # real production quality bound)
+        cfg, params, occ = self._setup()
+        rays_o, rays_d = _ray_fan(R=128)
+        bw = render_rays_blockwise(params, cfg, rays_o, rays_d, rays_d,
+                                   occ=occ)
+        cfg0 = dataclasses_replace_warp(cfg, False)
+        bw0 = render_rays_blockwise(params, cfg0, rays_o, rays_d, rays_d,
+                                    occ=occ)
+        p = float(psnr(bw["fine"]["rgb"], bw0["fine"]["rgb"]))
+        assert p > 40.0, f"warped vs unwarped blockwise PSNR {p:.1f} dB"
+        assert np.isfinite(np.asarray(bw["fine"]["rgb"])).all()
+
+    def test_warp_matches_unwarped_when_fully_occupied(self):
+        # a grid with every cell occupied has no gaps: caps are inactive
+        # and warped placement is midpoint strata — same integral, so the
+        # two paths agree tightly at a generous budget
+        from fashion_nerf.core.occupancy import OccupancyState
+        cfg, params, _ = self._setup(extra=["sampling.n_coarse=48",
+                                            "sampling.n_fine=48"])
+        g = cfg.occupancy.resolution
+        grid = jnp.ones((g, g, g), bool)
+        k = cfg.occupancy.macro
+        m = g // k
+        idx = jnp.stack(jnp.meshgrid(*[jnp.arange(k)] * 3,
+                                     indexing="ij"), -1).reshape(-1, 3)
+        cell = 4.0 / g
+        bmin = -2.0 + idx.astype(jnp.float32) * (m * cell)
+        bmax = bmin + m * cell
+        occ = OccupancyState(
+            box_min=jnp.full((3,), -2.0), box_max=jnp.full((3,), 2.0),
+            grid=grid, boxes_min=bmin, boxes_max=bmax,
+            boxes_occ=jnp.ones((k ** 3,), bool))
+        rays_o, rays_d = _ray_fan(R=128)
+        bw_w = render_rays_blockwise(params, cfg, rays_o, rays_d, rays_d,
+                                     occ=occ)
+        cfg0 = dataclasses_replace_warp(cfg, False)
+        bw_0 = render_rays_blockwise(params, cfg0, rays_o, rays_d, rays_d,
+                                     occ=occ)
+        p = float(psnr(bw_w["fine"]["rgb"], bw_0["fine"]["rgb"]))
+        assert p > 35.0, f"warp vs unwarped on full occupancy: {p:.1f} dB"
+
+    def test_warp_budget_override_shapes(self):
+        cfg, params, occ = self._setup(extra=["render.eval_n_coarse=16",
+                                              "render.eval_n_fine=16"])
+        rays_o, rays_d = _ray_fan(R=64)
+        bw = render_rays_blockwise(params, cfg, rays_o, rays_d, rays_d,
+                                   occ=occ)
+        assert bw["coarse"]["weights"].shape[1] == 16
+        assert bw["fine"]["weights"].shape[1] == 32
+
+
+def dataclasses_replace_warp(cfg, value: bool):
+    import dataclasses
+    return dataclasses.replace(
+        cfg, occupancy=dataclasses.replace(cfg.occupancy,
+                                           sample_warp=value))

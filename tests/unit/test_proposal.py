@@ -176,3 +176,52 @@ class TestProposalBlockwise:
         out = render_rays_blockwise(with_prop, cfg_u, rays_o, rays_d, rays_d)
         assert out["fine"]["weights"].shape[1] == (
             cfg.proposal.eval_n + cfg.sampling.n_fine)
+
+
+@pytest.mark.skipif(not _HAS_ASSET, reason="trained flagship asset missing")
+class TestProposalAccCull:
+    """ProposalConfig.cull_acc (r4): rays whose proposal march finds an
+    empty chord skip the full-MLP fine march and composite to background."""
+
+    def _rays(self):
+        from fashion_nerf.core.cameras import generate_rays
+        H = W = 16
+        focal = 0.5 * W / np.tan(0.5 * 0.6911)
+        c2w = np.eye(4, dtype=np.float32)[:3]
+        c2w[2, 3] = 4.0
+        ro, rd = generate_rays(H, W, focal, jnp.asarray(c2w))
+        return ro.reshape(-1, 3), rd.reshape(-1, 3)
+
+    def test_cull_all_is_background(self):
+        import dataclasses
+        from fashion_nerf.render.blockwise import render_rays_blockwise
+        cfg, _, with_prop = _trained_setup()
+        cfg_c = dataclasses.replace(
+            cfg, proposal=dataclasses.replace(cfg.proposal, cull_acc=1e9))
+        rays_o, rays_d = self._rays()
+        out = render_rays_blockwise(with_prop, cfg_c, rays_o, rays_d,
+                                    rays_d)
+        bg = 1.0 if cfg.render.white_bkgd else 0.0
+        np.testing.assert_allclose(np.asarray(out["fine"]["rgb"]), bg,
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out["fine"]["acc"]), 0.0,
+                                   atol=1e-6)
+
+    def test_small_threshold_matches_uncull(self):
+        import dataclasses
+        from fashion_nerf.metrics import psnr
+        from fashion_nerf.render.blockwise import render_rays_blockwise
+        cfg, _, with_prop = _trained_setup()
+        rays_o, rays_d = self._rays()
+        out0 = render_rays_blockwise(with_prop, cfg, rays_o, rays_d, rays_d)
+        cfg_c = dataclasses.replace(
+            cfg, proposal=dataclasses.replace(cfg.proposal, cull_acc=1e-3))
+        out1 = render_rays_blockwise(with_prop, cfg_c, rays_o, rays_d,
+                                     rays_d)
+        # only ~zero-contribution rays differ: the render is unchanged at
+        # far better than the production gate resolution
+        p = float(psnr(out1["fine"]["rgb"], out0["fine"]["rgb"]))
+        assert p > 45.0, f"cull_acc=1e-3 vs uncull {p:.1f} dB"
+        # and something was actually cullable on this crop (object + bkgd)
+        a0 = np.asarray(out0["coarse"]["acc"])
+        assert (a0 <= 1e-3).sum() > 0

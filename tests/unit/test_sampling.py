@@ -67,3 +67,137 @@ def test_sample_pdf_inside_range():
     key = jax.random.PRNGKey(2)
     s = np.asarray(sample_pdf(key, jnp.asarray(bins), jnp.asarray(weights), N))
     assert (s >= bins[:, :1] - 1e-5).all() and (s <= bins[:, -1:] + 1e-5).all()
+
+
+# ---- occupancy-warped sampling (r4) --------------------------------------
+
+def _np_occupancy_bins(seg_lo, seg_hi, seg_hit, t_lo, t_hi, nbins):
+    """Loop reference for occupancy_bins."""
+    R, K = seg_lo.shape
+    occ = np.zeros((R, nbins), np.float32)
+    gap = np.zeros((R, nbins), np.float32)
+    for r in range(R):
+        step = (t_hi[r] - t_lo[r]) / nbins
+        for i in range(nbins):
+            e0, e1 = t_lo[r] + i * step, t_lo[r] + (i + 1) * step
+            for k in range(K):
+                if seg_hit[r, k] and seg_lo[r, k] < e1 and seg_hi[r, k] > e0:
+                    occ[r, i] = 1.0
+                    break
+        for i in range(nbins):
+            g = nbins
+            for j in range(i, nbins):
+                if occ[r, j] == 0.0:
+                    g = j
+                    break
+            gap[r, i] = g
+    return occ, gap
+
+
+def _rand_segs(rng, R=4, K=5, t_lo=2.0, t_hi=6.0):
+    lo = rng.uniform(t_lo, t_hi, size=(R, K)).astype(np.float32)
+    hi = (lo + rng.uniform(0.05, 1.2, size=(R, K))).astype(np.float32)
+    hi = np.minimum(hi, t_hi).astype(np.float32)
+    hit = rng.uniform(size=(R, K)) > 0.3
+    hit[:, 0] = True     # every ray keeps at least one segment
+    return lo, hi, hit
+
+
+def test_occupancy_bins_matches_loop_reference():
+    from fashion_nerf.core.sampling import occupancy_bins
+    rng = np.random.default_rng(11)
+    lo, hi, hit = _rand_segs(rng)
+    R = lo.shape[0]
+    t_lo = np.full((R,), 2.0, np.float32)
+    t_hi = np.full((R,), 6.0, np.float32)
+    occ, gap = occupancy_bins(
+        (jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(hit)),
+        jnp.asarray(t_lo), jnp.asarray(t_hi), 16)
+    occ_ref, gap_ref = _np_occupancy_bins(lo, hi, hit, t_lo, t_hi, 16)
+    np.testing.assert_array_equal(np.asarray(occ), occ_ref)
+    np.testing.assert_array_equal(np.asarray(gap), gap_ref)
+
+
+def test_occupancy_bins_hand_case():
+    from fashion_nerf.core.sampling import occupancy_bins
+    # one ray, two segments [2.5, 3.0] and [4.0, 4.5] in [2, 6], 8 bins of
+    # width 0.5 → occupied bins 1 and 4; run ends at bins 2 and 5
+    lo = np.array([[2.5, 4.0]], np.float32)
+    hi = np.array([[3.0, 4.5]], np.float32)
+    hit = np.ones((1, 2), bool)
+    occ, gap = occupancy_bins(
+        (jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(hit)),
+        jnp.asarray([2.0]), jnp.asarray([6.0]), 8)
+    np.testing.assert_array_equal(
+        np.asarray(occ)[0], [0, 1, 0, 0, 1, 0, 0, 0])
+    np.testing.assert_array_equal(
+        np.asarray(gap)[0], [0, 2, 2, 3, 5, 5, 6, 7])
+
+
+def test_warp_stratified_full_occupancy_is_midpoint_strata():
+    from fashion_nerf.core.sampling import warp_stratified
+    R, NB, N = 3, 16, 24
+    occ = jnp.ones((R, NB), jnp.float32)
+    t_lo = jnp.asarray([2.0, 2.5, 3.0])
+    t_hi = jnp.asarray([6.0, 5.5, 5.0])
+    t = np.asarray(warp_stratified(occ, t_lo, t_hi, N))
+    u = (np.arange(N, dtype=np.float32) + 0.5) / N
+    want = np.asarray(t_lo)[:, None] + u[None, :] * (
+        np.asarray(t_hi) - np.asarray(t_lo))[:, None]
+    np.testing.assert_allclose(t, want, atol=2e-3)
+
+
+def test_warp_stratified_avoids_gaps_and_is_monotone():
+    from fashion_nerf.core.sampling import occupancy_bins, warp_stratified
+    rng = np.random.default_rng(7)
+    lo, hi, hit = _rand_segs(rng)
+    R = lo.shape[0]
+    t_lo = np.full((R,), 2.0, np.float32)
+    t_hi = np.full((R,), 6.0, np.float32)
+    nbins = 32
+    occ, _ = occupancy_bins(
+        (jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(hit)),
+        jnp.asarray(t_lo), jnp.asarray(t_hi), nbins)
+    t = np.asarray(warp_stratified(occ, jnp.asarray(t_lo),
+                                   jnp.asarray(t_hi), 48))
+    assert (np.diff(t, axis=1) >= -1e-5).all()
+    # every sample lies in an occupied bin (boundary tolerance half a ulp
+    # of the bin width)
+    step = (t_hi - t_lo)[:, None] / nbins
+    bi = np.clip(((t - t_lo[:, None]) / step).astype(int), 0, nbins - 1)
+    occ_np = np.asarray(occ)
+    in_occ = np.take_along_axis(occ_np, bi, axis=1) > 0
+    # samples exactly at a bin edge may floor into the neighbor — allow it
+    at_edge = np.abs((t - t_lo[:, None]) / step
+                     - np.round((t - t_lo[:, None]) / step)) < 1e-4
+    assert (in_occ | at_edge).all()
+
+
+def test_delta_caps_match_loop_reference():
+    from fashion_nerf.core.sampling import (delta_caps, occupancy_bins,
+                                            warp_stratified)
+    rng = np.random.default_rng(13)
+    lo, hi, hit = _rand_segs(rng)
+    R = lo.shape[0]
+    t_lo = np.full((R,), 2.0, np.float32)
+    t_hi = np.full((R,), 6.0, np.float32)
+    nbins = 16
+    occ, gap = occupancy_bins(
+        (jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(hit)),
+        jnp.asarray(t_lo), jnp.asarray(t_hi), nbins)
+    t = warp_stratified(occ, jnp.asarray(t_lo), jnp.asarray(t_hi), 20)
+    cap = np.asarray(delta_caps(gap, jnp.asarray(t_lo), jnp.asarray(t_hi),
+                                t))
+    t_np, gap_np = np.asarray(t), np.asarray(gap)
+    step = (t_hi - t_lo) / nbins
+    for r in range(R):
+        for s in range(t_np.shape[1]):
+            bi = int(np.clip((t_np[r, s] - t_lo[r]) // step[r],
+                             0, nbins - 1))
+            want = t_lo[r] + gap_np[r, bi] * step[r]
+            np.testing.assert_allclose(cap[r, s], want, atol=1e-5)
+    # caps never precede their sample when the sample is in an occupied run
+    bi = np.clip(((t_np - t_lo[:, None]) / step[:, None]).astype(int),
+                 0, nbins - 1)
+    occ_at = np.take_along_axis(np.asarray(occ), bi, axis=1) > 0
+    assert (cap[occ_at] >= t_np[occ_at] - 1e-4).all()
