@@ -61,8 +61,9 @@ def main():
     n_f = cfg.render.eval_n_fine or cfg.sampling.n_fine
     n_p = cfg.proposal.eval_n or cfg.render.eval_n_coarse
     SB = cfg.kernels.block_samples
+    p_sb = cfg.proposal.block_samples or SB
     s_pad_f = -(-n_f // SB) * SB
-    s_pad_p = -(-n_p // SB) * SB
+    s_pad_p = -(-n_p // p_sb) * p_sb
 
     rows = []
     for i in range(n_chunks):

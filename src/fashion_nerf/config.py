@@ -156,6 +156,13 @@ class ProposalConfig:
     # this reuses it. 0 disables. Quality-gated like every cull
     # (quality_check --gate; error per ray is bounded by the threshold).
     cull_acc: float = 0.0
+    # per-march sample-block size for the proposal march (0 = follow
+    # kernels.block_samples). The r4 frame profile showed the 2×128 prop
+    # march costing the SAME as the 8×256 fine march (177 vs 180 ms/frame)
+    # — per-block fixed work (HIGHEST-precision selector gathers, row
+    # relayout, scan matmul) dominates a small net, so marching the 64-eval
+    # budget as ONE 64-lane block instead of two 32-lane blocks halves it.
+    block_samples: int = 0
     # distillation budget (one-time, render setup — seconds on-chip;
     # 600→2000 steps measured −0.097 → −0.084 dB vs dense)
     distill_steps: int = 2000
@@ -346,7 +353,7 @@ _register(Config(
     # 1e-2 fails the near pose at −0.104 and buys nothing (culling
     # saturates by 5e-4). macro=4/2 retested WITH culling: slower AND
     # macro=4 fails the gate — K=512's tighter unions pay for their glue.
-    proposal=ProposalConfig(enabled=True, cull_acc=5e-4),
+    proposal=ProposalConfig(enabled=True, cull_acc=5e-4, block_samples=64),
     # Pallas is the default path (r2): blockwise early-terminated render
     # beats the dense XLA path ~2× on the trained ckpt; training uses the
     # fused backward (within 4% of XLA at batch 4k, and the ONLY path at

@@ -245,6 +245,11 @@ def _carry_eval(weight_arrs, dirpart, condpart, rays_o, rays_d, hit,
             bytes_accessed=int(R * S_pad * 12),
             transcendentals=int(R * S_pad * (6 * L + 3)),
         ),
+        # tiles are independent (parallel); a tile's block programs carry
+        # the transmittance through revisited VMEM windows, so the block
+        # dimension must stay sequential (arbitrary)
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(hit, block_hit, rays_o, rays_d, dirpart, *cond_inputs, t_pad, d_pad,
       fmat, foff, ut, *weight_arrs)

@@ -96,20 +96,21 @@ def _block_hit_flags(t_pad, SB, seg, R, NB):
 
 def _marched_pass_carry(packed, dirpart, condpart, rays_o, rays_d, t_vals,
                         dnorm, alive0, cfg: Config, t_end, seg=None,
-                        L=None, cap=None):
+                        L=None, cap=None, sb=None):
     """Carry-in-VMEM variant of _marched_pass: one Pallas program per
     (ray tile, sample block), the transmittance carry and composited
     accumulators persisted in VMEM output windows across the tile's blocks
     (kernels/blockmarch_pallas.py — VERDICT r2 next #1b). Same outputs.
 
     L: posenc degree of the marched net (default the main model's; the
-    σ-only proposal pass passes its own smaller L — r4)."""
+    σ-only proposal pass passes its own smaller L — r4). sb: per-march
+    block-size override (ProposalConfig.block_samples rationale)."""
     import math as _math
 
     from fashion_nerf.kernels.blockmarch_pallas import _carry_eval
 
     R, S = t_vals.shape
-    SB = cfg.kernels.block_samples
+    SB = sb or cfg.kernels.block_samples
     eps = cfg.kernels.early_term_eps
     arrs, plan = packed[0], packed[1]
     t_pad, d_pad = _pass_dists(t_vals, dnorm, t_end, SB, cap=cap)
@@ -156,7 +157,7 @@ def _marched_pass_carry(packed, dirpart, condpart, rays_o, rays_d, t_vals,
 
 def _marched_pass(eval_block, packed, dirpart, condpart, rays_o, rays_d,
                   t_vals, dnorm, alive0, cfg: Config, rpt: int, t_end,
-                  seg=None, cap=None):
+                  seg=None, cap=None, sb=None):
     """March one field pass over sample blocks with a transmittance carry.
 
     t_vals: (R, S) ascending. alive0: (R,) bool — rays worth marching (AABB
@@ -168,7 +169,7 @@ def _marched_pass(eval_block, packed, dirpart, condpart, rays_o, rays_d,
     Returns the volume_render-shaped dict.
     """
     R, S = t_vals.shape
-    SB = cfg.kernels.block_samples
+    SB = sb or cfg.kernels.block_samples
     eps = cfg.kernels.early_term_eps
     softplus = cfg.model.sigma_activation == "softplus"
     n_tiles = R // rpt
@@ -273,7 +274,8 @@ def render_rays_blockwise(params, cfg: Config, rays_o, rays_d, viewdirs,
         prop_m = proposal_model_config(cfg)
         (p_pack, p_hoist_dirs, _p_hc, p_eval_block, p_rays_per_tile) = \
             make_block_evaluator(cfg, mcfg=prop_m)
-        p_rpt = p_rays_per_tile(cfg.kernels.block_samples)
+        p_sb = cfg.proposal.block_samples or cfg.kernels.block_samples
+        p_rpt = p_rays_per_tile(p_sb)
         assert R % p_rpt == 0, (R, p_rpt)
 
     seg = None
@@ -322,18 +324,18 @@ def render_rays_blockwise(params, cfg: Config, rays_o, rays_d, viewdirs,
 
     if cfg.kernels.fused_carry:
         def march(packed, dirpart, condpart, t_vals, dnorm, alive0, t_end,
-                  L=None, rpt_=None, eval_block_=None):
+                  L=None, rpt_=None, eval_block_=None, sb=None):
             return _marched_pass_carry(packed, dirpart, condpart, rays_o,
                                        rays_d, t_vals, dnorm, alive0, cfg,
                                        t_end, seg=seg, L=L,
-                                       cap=_caps(t_vals))
+                                       cap=_caps(t_vals), sb=sb)
     else:
         def march(packed, dirpart, condpart, t_vals, dnorm, alive0, t_end,
-                  L=None, rpt_=None, eval_block_=None):
+                  L=None, rpt_=None, eval_block_=None, sb=None):
             return _marched_pass(eval_block_ or eval_block, packed, dirpart,
                                  condpart, rays_o, rays_d, t_vals, dnorm,
                                  alive0, cfg, rpt_ or rpt, t_end, seg=seg,
-                                 cap=_caps(t_vals))
+                                 cap=_caps(t_vals), sb=sb)
 
     packed_f = pack(params["fine"]) if scfg.n_fine > 0 else None
     dnorm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
@@ -346,7 +348,7 @@ def render_rays_blockwise(params, cfg: Config, rays_o, rays_d, viewdirs,
         t_c = _strat(n_prop)
         out_c = march(packed_c, dirpart_c, None, t_c, dnorm, alive0, t_end,
                       L=prop_m.posenc_xyz, rpt_=p_rpt,
-                      eval_block_=p_eval_block)
+                      eval_block_=p_eval_block, sb=p_sb)
     else:
         packed_c = pack(params["coarse"])
         dirpart_c = hoist_dirs(packed_c, viewdirs)
@@ -465,7 +467,7 @@ def render_image_blockwise(params, cfg: Config, H: int, W: int, focal, c2w,
         from fashion_nerf.models.proposal import proposal_model_config
         p_rpt = make_block_evaluator(
             cfg, mcfg=proposal_model_config(cfg))[-1](
-                cfg.kernels.block_samples)
+                cfg.proposal.block_samples or cfg.kernels.block_samples)
         rpt = max(rpt, p_rpt)
     chunk = max(rpt, (min(cfg.render.chunk, n) // rpt) * rpt)
     n_chunks = -(-n // chunk)
