@@ -163,6 +163,14 @@ class ProposalConfig:
     # relayout, scan matmul) dominates a small net, so marching the 64-eval
     # budget as ONE 64-lane block instead of two 32-lane blocks halves it.
     block_samples: int = 0
+    # slim σ-only march kernel for the proposal pass
+    # (kernels/sigmamarch_pallas.py, r4): drops every per-row cost a
+    # PDF-shaping pass does not need (dirpart expand, rgb/depth
+    # compositing, selector matmuls, matrix→rows t relayout, (rows,3) pts
+    # math — the measured ~90%-VPU prop-march body). Activates only when
+    # the shape allows (eval_n ≤ the march block ⇒ single-block march) and
+    # the carry march is on; otherwise the generic kernel runs as before.
+    sigma_march: bool = True
     # distillation budget (one-time, render setup — seconds on-chip;
     # 600→2000 steps measured −0.097 → −0.084 dB vs dense)
     distill_steps: int = 2000

@@ -155,6 +155,47 @@ def _marched_pass_carry(packed, dirpart, condpart, rays_o, rays_d, t_vals,
             "ideal_frac": jnp.mean(ray_alive.astype(jnp.float32))}
 
 
+def _sigma_march_pass(packed_sig, rays_o, rays_d, t_vals, dnorm, alive0,
+                      cfg: Config, t_end, seg=None, L=None, sb=None,
+                      cap=None):
+    """σ-only single-block march (kernels/sigmamarch_pallas.py, r4): the
+    proposal pass through the slim kernel. Same dict shape as the other
+    marches, but rgb/depth are not composited (the PDF consumes weights,
+    culling consumes acc): rgb is the background the zero-radiance march
+    converges to, depth is 0."""
+    from fashion_nerf.kernels.sigmamarch_pallas import _sigma_march_eval
+
+    R, S = t_vals.shape
+    SB = sb or cfg.kernels.block_samples
+    t_pad, d_pad = _pass_dists(t_vals, dnorm, t_end, SB, cap=cap)
+    assert t_pad.shape[1] == SB, (t_pad.shape, SB)     # caller gates NB==1
+    hit = alive0.astype(jnp.float32).reshape(R, 1)
+    block_hit = _block_hit_flags(t_pad, SB, seg, R, 1)
+    alive = hit * block_hit                            # (R, 1)
+
+    Wx, b0, kernel_arrs, n_plain, (oF, dF, oWx, dWx) = packed_sig
+    w, acc, _logT = _sigma_march_eval(
+        kernel_arrs, oWx, dWx, oF, dF, alive, t_pad.reshape(R * SB, 1),
+        d_pad, n_plain, SB, cfg.model.sigma_activation == "softplus",
+        interpret=cfg.kernels.interpret)
+
+    weights = w[:, :S]
+    rgb = jnp.zeros((R, 3), jnp.float32)
+    if cfg.render.white_bkgd:
+        rgb = rgb + (1.0 - acc[:, None])
+    depth = jnp.zeros((R,), jnp.float32)
+    from fashion_nerf.kernels.posenc_mlp_pallas import _TILE
+    rpt = _TILE // SB
+    tile_alive = jnp.max(
+        (alive > 0).reshape(R // rpt, rpt).astype(jnp.float32), axis=1)
+    return {"rgb": rgb, "depth": depth, "acc": acc,
+            "weights": weights,
+            "disp": 1.0 / jnp.maximum(1e-10, depth / jnp.maximum(acc,
+                                                                 1e-10)),
+            "alive_frac": jnp.mean(tile_alive),
+            "ideal_frac": jnp.mean((alive > 0).astype(jnp.float32))}
+
+
 def _marched_pass(eval_block, packed, dirpart, condpart, rays_o, rays_d,
                   t_vals, dnorm, alive0, cfg: Config, rpt: int, t_end,
                   seg=None, cap=None, sb=None):
@@ -272,11 +313,18 @@ def render_rays_blockwise(params, cfg: Config, rays_o, rays_d, viewdirs,
     if use_prop:
         from fashion_nerf.models.proposal import proposal_model_config
         prop_m = proposal_model_config(cfg)
-        (p_pack, p_hoist_dirs, _p_hc, p_eval_block, p_rays_per_tile) = \
-            make_block_evaluator(cfg, mcfg=prop_m)
         p_sb = cfg.proposal.block_samples or cfg.kernels.block_samples
-        p_rpt = p_rays_per_tile(p_sb)
-        assert R % p_rpt == 0, (R, p_rpt)
+        n_prop = cfg.proposal.eval_n or scfg.n_coarse
+        # slim σ-only march (kernels/sigmamarch_pallas.py, r4): single-block
+        # shape + carry path ⇒ the PDF pass skips the generic kernel's
+        # rgb/dirpart/relayout body entirely
+        use_slim = (cfg.proposal.sigma_march and cfg.kernels.fused_carry
+                    and n_prop <= p_sb)
+        if not use_slim:
+            (p_pack, p_hoist_dirs, _p_hc, p_eval_block, p_rays_per_tile) = \
+                make_block_evaluator(cfg, mcfg=prop_m)
+            p_rpt = p_rays_per_tile(p_sb)
+            assert R % p_rpt == 0, (R, p_rpt)
 
     seg = None
     near, far, hit = rcfg.near, rcfg.far, None
@@ -341,10 +389,20 @@ def render_rays_blockwise(params, cfg: Config, rays_o, rays_d, viewdirs,
     dnorm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
     key = jax.random.PRNGKey(0)   # unused: eval-mode deterministic sampling
 
-    if use_prop:
+    if use_prop and use_slim:
+        from fashion_nerf.kernels.sigmamarch_pallas import (hoist_rays,
+                                                            pack_sigma)
+        Wx, b0, kernel_arrs, n_plain = pack_sigma(params["proposal"],
+                                                  prop_m)
+        hoists = hoist_rays(Wx, b0, rays_o, rays_d, prop_m.posenc_xyz)
+        t_c = _strat(n_prop)
+        out_c = _sigma_march_pass(
+            (Wx, b0, kernel_arrs, n_plain, hoists), rays_o, rays_d, t_c,
+            dnorm, alive0, cfg, t_end, seg=seg, L=prop_m.posenc_xyz,
+            sb=p_sb, cap=_caps(t_c))
+    elif use_prop:
         packed_c = p_pack(params["proposal"])
         dirpart_c = p_hoist_dirs(packed_c, viewdirs)   # zeros: σ-only net
-        n_prop = cfg.proposal.eval_n or scfg.n_coarse
         t_c = _strat(n_prop)
         out_c = march(packed_c, dirpart_c, None, t_c, dnorm, alive0, t_end,
                       L=prop_m.posenc_xyz, rpt_=p_rpt,
