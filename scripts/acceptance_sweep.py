@@ -17,13 +17,18 @@ import time
 sys.path.insert(0, os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "src"))
 
-# (preset, train budget; 0 = the preset's own full budget)
+# (preset, train budget; 0 = the preset's own full budget, PSNR floor).
+# Floors (VERDICT r4 weak #6): asserted so cross-preset regressions fail
+# loudly instead of drifting in a table. Set ~1.5 dB under the r4 measured
+# values (tiny 36.66 @1000, blender 35.04 @600, llff 26.07 @400, viton 28.8
+# @400, dynamic 29.1 @400 — BASELINE.md r4 sweep) to absorb seed noise while
+# catching the r3-class failures (a budget/threshold change costing >1 dB).
 RUNS = [
-    ("tiny_lego", 0),          # full 1000-iter preset budget (VERDICT r3 #10)
-    ("blender_lego", 600),
-    ("llff_fern", 400),
-    ("viton_tryon", 400),
-    ("dynamic_tryon", 400),
+    ("tiny_lego", 0, 35.0),    # full 1000-iter preset budget (VERDICT r3 #10)
+    ("blender_lego", 600, 33.5),
+    ("llff_fern", 400, 24.5),
+    ("viton_tryon", 400, 27.0),
+    ("dynamic_tryon", 400, 27.5),
 ]
 
 
@@ -35,7 +40,8 @@ def main():
     ap.add_argument("--only", default="")
     args = ap.parse_args()
 
-    for name, iters in RUNS:
+    failures = []
+    for name, iters, floor in RUNS:
         if args.only and args.only not in name:
             continue
         ovr = ([f"train.iters={iters}", f"train.eval_every={iters}",
@@ -48,13 +54,21 @@ def main():
             _, history = train(cfg)
             dt = time.perf_counter() - t0
         vals = [h["val_psnr"] for h in history if "val_psnr" in h]
+        val = round(float(vals[-1]), 2) if vals else None
+        ok = val is not None and val >= floor
+        if not ok:
+            failures.append((name, val, floor))
         rays = iters * cfg.train.batch_rays / dt
         print(json.dumps({
             "preset": name, "iters": iters,
-            "val_psnr": round(float(vals[-1]), 2) if vals else None,
+            "val_psnr": val, "floor": floor,
+            "floor_ok": ok,
             "train_rays_s": round(rays),
             "wall_s": round(dt, 1),
         }), flush=True)
+    if failures:
+        print(f"FLOOR FAILURES: {failures}", file=sys.stderr, flush=True)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -90,6 +90,12 @@ def main():
         ("az-45 el20 r3.2 (near)", ring(-45, 20, 3.2)),
         ("az120 el35 r5 (far)", ring(120, 35, 5.0)),
         ("az200 el-15 r4.5", ring(200, -15, 4.5)),
+        # r5 adversarial poses (VERDICT r4 weak #3): the first five are all
+        # ring-at-origin r3.2–5.0; the r4 thresholds were tuned against
+        # exactly those. Probe closer than any tuning pose and near
+        # top-down, where per-ray occupied chords are longest.
+        ("az60 el25 r2.6 (closer)", ring(60, 25, 2.6)),
+        ("az10 el75 r4 (top-down)", ring(10, 75, 4.0)),
     ]
     c2w = None   # set to POSES[args.pose] once GT infra is defined below
     # analytic GT in row strips — a whole-image 800×800×512-sample pts array
@@ -233,9 +239,12 @@ def main():
         dense_fn = jax.jit(lambda p: render_image(
             fcp, ffp, H, W, focal, p, dense_cfg)["rgb"])
 
+        import time as _time
+
         worst = float("inf")
+        worst_rps = float("inf")
         print(f"\n{'pose':26s} {'dense vs GT':>12s} {'prod vs GT':>12s} "
-              f"{'delta':>8s}", flush=True)
+              f"{'delta':>8s} {'Mrays/s':>8s}", flush=True)
         for i, (pname, pose) in enumerate(POSES):
             g = jnp.asarray(gt_for(i))
             pj = jnp.asarray(pose)
@@ -243,15 +252,27 @@ def main():
             float(di[0, 0, 0])
             pi = prod(pj)
             float(pi[0, 0, 0])
+            # per-pose throughput (VERDICT r4 weak #1): per-chunk cost
+            # varies ~3× with silhouette fraction, so the headline must
+            # show its spread across framings, not just the interior-heavy
+            # bench pose. Steady state: the compile + occupancy/proposal
+            # setup already ran in the quality render above.
+            t0 = _time.perf_counter()
+            pi2 = prod(pj)
+            float(pi2[0, 0, 0])
+            rps = H * W / (_time.perf_counter() - t0)
+            worst_rps = min(worst_rps, rps)
             d_gt = float(psnr(jnp.asarray(di), g))
             p_gt = float(psnr(jnp.asarray(pi), g))
             delta = p_gt - d_gt
             worst = min(worst, delta)
-            print(f"{pname:26s} {d_gt:12.2f} {p_gt:12.2f} {delta:+8.3f}",
-                  flush=True)
+            print(f"{pname:26s} {d_gt:12.2f} {p_gt:12.2f} {delta:+8.3f} "
+                  f"{rps / 1e6:8.3f}", flush=True)
         ok = worst > -0.1
         print(f"\nworst-pose delta {worst:+.3f} dB — "
-              f"{'PASS' if ok else 'FAIL'} (gate -0.1)", flush=True)
+              f"{'PASS' if ok else 'FAIL'} (gate -0.1); "
+              f"worst-pose throughput {worst_rps / 1e6:.3f} Mrays/s",
+              flush=True)
         _sys.exit(0 if ok else 1)
 
     specs = [

