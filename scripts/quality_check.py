@@ -50,6 +50,10 @@ def main():
     ap.add_argument("--pose", type=int, default=0,
                     help="POSES index the spec sweep renders (default: the "
                     "historical bench pose)")
+    ap.add_argument("--poses", default="",
+                    help="comma-separated POSES indices for --gate mode "
+                    "(default: all — a shippable PASS needs all; subsets "
+                    "are for fast candidate triage)")
     args = ap.parse_args()
 
     H = W = 800
@@ -245,7 +249,10 @@ def main():
         worst_rps = float("inf")
         print(f"\n{'pose':26s} {'dense vs GT':>12s} {'prod vs GT':>12s} "
               f"{'delta':>8s} {'Mrays/s':>8s}", flush=True)
-        for i, (pname, pose) in enumerate(POSES):
+        pose_sel = ([int(s) for s in args.poses.split(",") if s.strip()]
+                    or range(len(POSES)))
+        for i in pose_sel:
+            pname, pose = POSES[i]
             g = jnp.asarray(gt_for(i))
             pj = jnp.asarray(pose)
             di = dense_fn(pj)

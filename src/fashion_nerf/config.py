@@ -212,6 +212,16 @@ class KernelConfig:
     # The middle point between the two-stage pipeline and the rejected
     # megakernel (VERDICT r2 next #1b).
     fused_carry: bool = False
+    # slim carry march (kernels/slimmarch_pallas.py, r5): the carry body
+    # with per-row linear-in-t work hoisted per ray to XLA (the sigmamarch
+    # decomposition generalized to rgb-compositing multi-block marches) and
+    # block-major t/dists/weights layouts replacing the three
+    # HIGHEST-precision selector matmuls per (tile, block). Motivated by the
+    # r4 anatomy: the fine carry program measured 42.5 µs alive vs the
+    # ~27-29 µs MXU floor — ~30% per-row VPU/selector/relayout overhead.
+    # Applies to every _marched_pass_carry user (fine march, non-proposal
+    # coarse march); the σ-only proposal keeps its own slimmer kernel.
+    carry_hoist: bool = False
     # RETIRED (r4): a third march variant — the megakernel (whole block
     # march NB-unrolled in ONE program per ray tile) — was built in r2,
     # measured slower (live chunk 142 ms vs the two-stage pipeline's 113;

@@ -155,6 +155,75 @@ def _marched_pass_carry(packed, dirpart, condpart, rays_o, rays_d, t_vals,
             "ideal_frac": jnp.mean(ray_alive.astype(jnp.float32))}
 
 
+def _marched_pass_slim(packed, dirpart, condpart, rays_o, rays_d, t_vals,
+                       dnorm, alive0, cfg: Config, t_end, seg=None,
+                       L=None, cap=None, sb=None):
+    """Slim variant of _marched_pass_carry (kernels/slimmarch_pallas.py,
+    r5): per-row linear-in-t work (pts build, posenc prep, x@Wx, the t
+    relayout) hoisted per ray to XLA, t/dists/weights re-laid block-major so
+    the kernel's windows are full-width (no selector gather/scatter
+    matmuls), depth/acc compositing hoisted onto the weights output.
+    Conditioning folds into the hoisted intercepts — no condpart window.
+    Same outputs as _marched_pass_carry."""
+    import math as _math
+
+    from fashion_nerf.kernels.slimmarch_pallas import (_slim_eval,
+                                                       hoist_rays,
+                                                       split_hoist)
+
+    R, S = t_vals.shape
+    SB = sb or cfg.kernels.block_samples
+    eps = cfg.kernels.early_term_eps
+    plan = packed[1]
+    t_pad, d_pad = _pass_dists(t_vals, dnorm, t_end, SB, cap=cap)
+    NB = t_pad.shape[1] // SB
+    log_eps = _math.log(eps) if eps > 0 else -1e30
+    hit = alive0.astype(jnp.float32).reshape(R, 1)
+    block_hit = _block_hit_flags(t_pad, SB, seg, R, NB)
+
+    kernel_arrs, x_kernels = split_hoist(packed)
+    Lm = cfg.model.posenc_xyz if L is None else L
+    oF, dF, oX, dX = hoist_rays(x_kernels, Lm, rays_o, rays_d,
+                                condpart=condpart)
+    # block-major relayouts (~free in HBM; they buy full-width kernel
+    # windows in place of three HIGHEST-precision selector matmuls)
+    t_bm = t_pad.reshape(R, NB, SB).transpose(1, 0, 2).reshape(
+        NB * R * SB, 1)
+    d_bm = d_pad.reshape(R, NB, SB).transpose(1, 0, 2).reshape(NB * R, SB)
+    has_vd = plan[-1] == "heads_vd"
+
+    rgb, w_bm, _logT = _slim_eval(
+        kernel_arrs, oX, dX, oF, dF, dirpart if has_vd else None, hit,
+        block_hit, t_bm, d_bm, plan, SB,
+        cfg.model.sigma_activation == "softplus", log_eps,
+        interpret=cfg.kernels.interpret)
+
+    w = w_bm.reshape(NB, R, SB).transpose(1, 0, 2).reshape(R, NB * SB)
+    acc = jnp.sum(w, axis=1)
+    depth = jnp.sum(w * t_pad, axis=1)
+    weights = w[:, :S]
+    if cfg.render.white_bkgd:
+        rgb = rgb + (1.0 - acc[:, None])
+    disp = 1.0 / jnp.maximum(1e-10, depth / jnp.maximum(acc, 1e-10))
+    # executed-block diagnostics: identical reconstruction to
+    # _marched_pass_carry (same tile rule — slim keeps the halved
+    # conditioned tile for the caller's R-divisibility contract)
+    from fashion_nerf.kernels.posenc_mlp_pallas import _TILE
+    has_cond = any(t.endswith("_c") for t in plan)
+    rpt = (_TILE // 2 if has_cond else _TILE) // SB
+    cum_w = jnp.cumsum(w, axis=1)
+    t_start = 1.0 - jnp.concatenate(
+        [jnp.zeros((R, 1), jnp.float32), cum_w[:, :-1]], axis=1)
+    eps_f = eps if eps > 0 else 0.0
+    ray_alive = (hit > 0) & (block_hit > 0) & (t_start[:, ::SB] > eps_f)
+    tile_alive = jnp.max(
+        ray_alive.reshape(R // rpt, rpt, NB).astype(jnp.float32), axis=1)
+    return {"rgb": rgb, "depth": depth, "acc": acc,
+            "weights": weights, "disp": disp,
+            "alive_frac": jnp.mean(tile_alive),
+            "ideal_frac": jnp.mean(ray_alive.astype(jnp.float32))}
+
+
 def _sigma_march_pass(packed_sig, rays_o, rays_d, t_vals, dnorm, alive0,
                       cfg: Config, t_end, seg=None, L=None, sb=None,
                       cap=None):
@@ -371,12 +440,15 @@ def render_rays_blockwise(params, cfg: Config, rays_o, rays_d, viewdirs,
         return delta_caps(gap_idx, near, far, t_vals) if warp else None
 
     if cfg.kernels.fused_carry:
+        carry_fn = (_marched_pass_slim if cfg.kernels.carry_hoist
+                    else _marched_pass_carry)
+
         def march(packed, dirpart, condpart, t_vals, dnorm, alive0, t_end,
                   L=None, rpt_=None, eval_block_=None, sb=None):
-            return _marched_pass_carry(packed, dirpart, condpart, rays_o,
-                                       rays_d, t_vals, dnorm, alive0, cfg,
-                                       t_end, seg=seg, L=L,
-                                       cap=_caps(t_vals), sb=sb)
+            return carry_fn(packed, dirpart, condpart, rays_o,
+                            rays_d, t_vals, dnorm, alive0, cfg,
+                            t_end, seg=seg, L=L,
+                            cap=_caps(t_vals), sb=sb)
     else:
         def march(packed, dirpart, condpart, t_vals, dnorm, alive0, t_end,
                   L=None, rpt_=None, eval_block_=None, sb=None):
