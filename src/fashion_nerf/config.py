@@ -154,6 +154,14 @@ class ProposalConfig:
     # defensive importance sampling: blend this fraction of each ray's PDF
     # mass uniformly over its bins — coverage without budget (see cov_n)
     uniform_mix: float = 0.2
+    # full-range PDF bins (r5): span [t_c[0], t_c[-1]] with ALL S proposal
+    # weights instead of the canonical mid-bin form (midpoint edges,
+    # weights[1:-1]) that confines fine samples to [mid_0, mid_{-1}] and
+    # drops the boundary bins' mass. The union=False proposal path has no
+    # other coverage there; the 7-pose gate's close pose (near plane
+    # clipping into real density) lost −0.328 dB through exactly that
+    # (render/blockwise.py rationale). Off reproduces the r4 behavior.
+    edge_bins: bool = True
     # proposal-acc ray culling (r4): rays whose proposal march accumulates
     # less than this opacity along their whole culled range skip the
     # full-MLP fine march (composited straight to background, exactly what
@@ -221,7 +229,11 @@ class KernelConfig:
     # ~27-29 µs MXU floor — ~30% per-row VPU/selector/relayout overhead.
     # Applies to every _marched_pass_carry user (fine march, non-proposal
     # coarse march); the σ-only proposal keeps its own slimmer kernel.
-    carry_hoist: bool = False
+    # Default ON since r5: bench-pose A/B 1.839M → 1.923M rays/s and the
+    # full 7-pose gate passes with it (worst −0.098, identical to the
+    # generic kernel's −0.096/−0.097 across runs — run-to-run ±0.002);
+    # only consulted when fused_carry is on.
+    carry_hoist: bool = True
     # RETIRED (r4): a third march variant — the megakernel (whole block
     # march NB-unrolled in ONE program per ray tile) — was built in r2,
     # measured slower (live chunk 142 ms vs the two-stage pipeline's 113;

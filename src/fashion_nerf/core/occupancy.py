@@ -195,15 +195,34 @@ def build_from_config(cfg, field: Callable) -> OccupancyState:
         macro=ocfg.macro)
 
 
-def build_jit(cfg, field: Callable, params) -> OccupancyState:
+def build_jit(cfg, field: Callable, params, cond=None) -> OccupancyState:
     """Jit the lattice sweep with `params` TRACED. Do not wrap the build in a
     zero-argument jit: with the weights as compile-time constants the whole
     sweep lands in XLA's constant folder, which crashes the TPU compiler on
     the Pallas field (measured: SIGILL in tpu_compile_helper). `field` is the
-    UNBOUND field fn (params, pts, viewdirs, cond) → (rgb, σ)."""
+    UNBOUND field fn (params, pts, viewdirs, cond) → (rgb, σ).
+
+    cond: per-scene conditioning VECTOR (Cc,) for conditioned fields (r5,
+    VERDICT r4 missing #3 — try-on density depends on the garment code, so
+    the grid must be scanned WITH it; cond=None on a conditioned field is a
+    width mismatch, which is why occupancy was never wired for try-on
+    before). The grid is only valid for this cond — per-frame latents
+    (dynamic try-on) need the per-frame delta measured before reuse."""
     import functools
-    return jax.jit(lambda p: build_from_config(
-        cfg, functools.partial(field, p)))(params)
+    if cond is None:
+        return jax.jit(lambda p: build_from_config(
+            cfg, functools.partial(field, p)))(params)
+
+    # cond rides as a TRACED argument, not a closure constant: jit-constant
+    # inputs feed XLA's constant folder, which is the same SIGILL trap as
+    # the zero-arg jit above (memory: tpu-compiler-pitfalls)
+    def _build(p, cvec):
+        def bound(pts, dirs, _c):
+            c = jnp.broadcast_to(cvec, (pts.shape[0], cvec.shape[-1]))
+            return field(p, pts, dirs, c)
+        return build_from_config(cfg, bound)
+
+    return jax.jit(_build)(params, jnp.asarray(cond))
 
 
 def ray_aabb_intersect(rays_o, rays_d, box_min, box_max, near, far):

@@ -490,8 +490,8 @@ def render_rays_blockwise(params, cfg: Config, rays_o, rays_d, viewdirs,
     if scfg.n_fine <= 0:
         return {"coarse": out_c, "fine": None}
 
-    t_mid = 0.5 * (t_c[:, 1:] + t_c[:, :-1])
-    w_mid = out_c["weights"][:, 1:-1]
+    pdf_bins, w_mid = _pdf_bins(t_c, out_c["weights"],
+                                use_prop and cfg.proposal.edge_bins)
     if use_prop and cfg.proposal.dilate > 0:
         # conservative PDF (mip-NeRF-360 dilation): each bin takes the max
         # over ±dilate neighbors so the blurrier proposal σ cannot starve
@@ -508,7 +508,7 @@ def render_rays_blockwise(params, cfg: Config, rays_o, rays_d, viewdirs,
         a = cfg.proposal.uniform_mix
         w_mid = ((1.0 - a) * w_mid
                  + a * jnp.mean(w_mid, axis=-1, keepdims=True))
-    t_f = sample_pdf(key, t_mid, w_mid, scfg.n_fine, det=True)
+    t_f = sample_pdf(key, pdf_bins, w_mid, scfg.n_fine, det=True)
     if use_prop and not cfg.proposal.union:
         # mip-NeRF-360 style: proposal samples never touch the big MLP
         # (union would make every proposal bin cost a full fine eval). The
@@ -536,6 +536,28 @@ def render_rays_blockwise(params, cfg: Config, rays_o, rays_d, viewdirs,
     out_f = march(packed_f, dirpart_f, condpart_f, t_all, dnorm, alive_f,
                   t_end)
     return {"coarse": out_c, "fine": out_f}
+
+
+def _pdf_bins(t_c, weights, edge_bins: bool):
+    """Hierarchical-PDF bin edges + per-bin mass from the coarse pass.
+
+    edge_bins=False: the canonical mid-bin form (edges = sample midpoints,
+    weights[1:-1]) — fine samples are confined to [mid_0, mid_{-1}] and the
+    first/last sample's mass is DROPPED. The non-proposal path never
+    notices: it unions t_c into the fine integration. edge_bins=True (r5,
+    ProposalConfig.edge_bins): edges span the full sampled range
+    [t_c[0], t_c[-1]] with ALL S weights — the union=False proposal path
+    has no other coverage at the boundary, and at the 7-pose gate's close
+    pose (near plane clipping INTO real density ⇒ the first bin carries
+    real mass) the mid-bin form lost −0.328 dB that no mix/dilate/margin/
+    budget knob could recover (r5 triage; union=true and edge_bins both
+    fix it). On ring poses the boundary half-bins sit in the σ≈0 occupancy
+    halo, which is why r4 never saw this."""
+    t_mid = 0.5 * (t_c[:, 1:] + t_c[:, :-1])
+    if edge_bins:
+        return (jnp.concatenate([t_c[:, :1], t_mid, t_c[:, -1:]], axis=1),
+                weights)
+    return t_mid, weights[:, 1:-1]
 
 
 def _tile_order(H: int, W: int, th: int = 8, tw: int = 8):

@@ -59,6 +59,38 @@ def test_sample_pdf_concentrates_mass():
     assert frac_inside > 0.95
 
 
+def test_pdf_edge_bins_cover_boundary_mass():
+    """Full-range PDF bins (r5, ProposalConfig.edge_bins / render.blockwise
+    ._pdf_bins): when the FIRST coarse sample carries the mass (the 7-pose
+    gate's close pose — the near plane clips into real density), the
+    canonical mid-bin form structurally cannot place fine samples below the
+    first midpoint (it drops weights[0] and its edges start at mid_0; the
+    shipped config lost −0.328 dB there, r5 triage). Edge bins must place
+    most samples in the first half-bin; both forms stay inside [t0, t-1]."""
+    from fashion_nerf.render.blockwise import _pdf_bins
+
+    R, S, N = 2, 16, 32
+    t_c = np.tile(np.linspace(2.0, 6.0, S, dtype=np.float32), (R, 1))
+    w = np.zeros((R, S), np.float32)
+    w[:, 0] = 1.0                      # all real mass at the clipped front
+    mid0 = 0.5 * (t_c[0, 0] + t_c[0, 1])
+    key = jax.random.PRNGKey(3)
+
+    bins_new, w_new = _pdf_bins(jnp.asarray(t_c), jnp.asarray(w), True)
+    assert bins_new.shape == (R, S + 1) and w_new.shape == (R, S)
+    s_new = np.asarray(sample_pdf(key, bins_new, w_new, N, det=True))
+    frac_front = (s_new <= mid0 + 1e-6).mean()
+    assert frac_front > 0.9, frac_front
+    assert s_new.min() >= t_c[0, 0] - 1e-6
+    assert s_new.max() <= t_c[0, -1] + 1e-6
+
+    bins_old, w_old = _pdf_bins(jnp.asarray(t_c), jnp.asarray(w), False)
+    assert bins_old.shape == (R, S - 1) and w_old.shape == (R, S - 2)
+    s_old = np.asarray(sample_pdf(key, bins_old, w_old, N, det=True))
+    # the r4 form cannot reach below mid_0 even with all mass there
+    assert s_old.min() >= mid0 - 1e-6
+
+
 def test_sample_pdf_inside_range():
     rng = np.random.default_rng(3)
     R, B, N = 3, 6, 20
